@@ -1,0 +1,171 @@
+"""Ground-truth world simulation (layer L1 of the reference).
+
+Re-expresses ``Simulator2D`` (``/root/reference/src/em_exploration/Simulator2D.cpp``)
+as pure functions over fixed-capacity arrays:
+
+* landmark scatter with >=2 m rejection from the start pose
+  (``Simulator2D.cpp:445-464``) via masked resampling rounds;
+* ``move``: ``new = pose * odom * noise`` with body-frame Gaussian noise
+  (``Simulator2D.cpp:161-182``) — no safety check, matching the env path which
+  always passes ``ignore_safety=True`` (``/root/reference/scripts/envs/pyss2d.py:140-143``);
+* ``measure``: noisy bearing/range to every landmark whose *true* distance is
+  within ``max_range`` (the kd "radius query", ``Simulator2D.cpp:505-523``)
+  and whose *noisy* measurement passes the FoV/range check
+  (``Simulator2D.cpp:100-105``), returned as a fixed-size masked vector in
+  landmark-index order (the reference's iteration order: its landmark map is
+  key-sorted).
+
+Everything batches with ``jax.vmap`` over a leading world dimension.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ExplorationConfig
+from ..geometry import se2
+
+
+class WorldState(NamedTuple):
+    """Ground truth: true landmark positions and the true vehicle pose."""
+
+    landmarks: jax.Array  # (max_landmarks, 2) float
+    landmark_valid: jax.Array  # (max_landmarks,) bool
+    pose: jax.Array  # (3,) true vehicle pose
+    trajectory: jax.Array  # (max_poses, 3) true trajectory (for metrics/plots)
+    n_poses: jax.Array  # () int32
+
+
+class Measurements(NamedTuple):
+    """Fixed-capacity measurement set, slot ``j`` <-> landmark ``j``."""
+
+    bearing: jax.Array  # (max_landmarks,)
+    range: jax.Array  # (max_landmarks,)
+    valid: jax.Array  # (max_landmarks,) bool
+
+
+_SCATTER_ROUNDS = 32
+
+
+def scatter_landmarks(
+    key: jax.Array, start_xy: jax.Array, config: ExplorationConfig
+) -> tuple[jax.Array, jax.Array]:
+    """Uniformly scatter ``num_landmarks`` landmarks over the environment
+    bounds, rejecting samples closer than 2 m to the start position
+    (``Simulator2D.cpp:452-463``).  Fixed-round masked resampling replaces the
+    reference's unbounded rejection loop."""
+    env = config.environment
+    nl = config.simulator.num_landmarks
+    cap = config.capacity.max_landmarks
+
+    def round_body(carry, k):
+        pts, ok = carry
+        kx, ky = jax.random.split(k)
+        cand = jnp.stack(
+            [
+                jax.random.uniform(kx, (cap,), minval=env.min_x, maxval=env.max_x),
+                jax.random.uniform(ky, (cap,), minval=env.min_y, maxval=env.max_y),
+            ],
+            axis=-1,
+        )
+        cand_ok = jnp.linalg.norm(cand - start_xy[None, :], axis=-1) >= 2.0
+        pts = jnp.where(ok[:, None], pts, cand)
+        ok = ok | cand_ok
+        return (pts, ok), None
+
+    init = (jnp.zeros((cap, 2)), jnp.zeros((cap,), bool))
+    (pts, ok), _ = jax.lax.scan(
+        round_body, init, jax.random.split(key, _SCATTER_ROUNDS)
+    )
+    valid = (jnp.arange(cap) < nl) & ok
+    return pts, valid
+
+
+def initial_pose(key: jax.Array, config: ExplorationConfig) -> jax.Array:
+    """Integer-grid start pose, mirroring the quirky seeding in
+    ``/root/reference/scripts/envs/pyss2d.py:89-95``: ``x0, y0`` are uniform
+    integers in ``[-max_x/2, max_x/2)`` of the *map* frame and ``theta0`` is a
+    whole number of degrees."""
+    mx = config.map_max_x
+    kx, ky, kt = jax.random.split(key, 3)
+    x0 = jax.random.randint(kx, (), 0, jnp.int32(mx)) - mx / 2.0
+    y0 = jax.random.randint(ky, (), 0, jnp.int32(mx)) - mx / 2.0
+    t0 = jnp.deg2rad(jax.random.randint(kt, (), 0, 360).astype(jnp.float32))
+    return jnp.stack([x0, y0, se2.wrap_angle(t0)])
+
+
+def init_world(key: jax.Array, config: ExplorationConfig) -> WorldState:
+    kp, kl = jax.random.split(key)
+    pose = initial_pose(kp, config)
+    landmarks, valid = scatter_landmarks(kl, pose[:2], config)
+    cap = config.capacity.max_poses
+    traj = jnp.zeros((cap, 3)).at[0].set(pose)
+    return WorldState(
+        landmarks=landmarks,
+        landmark_valid=valid,
+        pose=pose,
+        trajectory=traj,
+        n_poses=jnp.int32(1),
+    )
+
+
+def move(
+    world: WorldState, odom: jax.Array, key: jax.Array, config: ExplorationConfig
+) -> tuple[WorldState, jax.Array]:
+    """Execute one odometry step with control noise.  Returns the new world
+    and the *noisy realised pose* (= ``ControlState.getPose()``, which the
+    SLAM layer pairs with the noiseless commanded ``odom`` as the factor
+    measurement, ``/root/reference/src/em_exploration/SLAM2D.cpp:59-89``)."""
+    c = config.control
+    sigmas = jnp.array([c.translation_noise, c.translation_noise, c.rotation_noise])
+    noise = jax.random.normal(key, (3,)) * sigmas
+    new_pose = se2.compose(se2.compose(world.pose, odom), noise)
+    idx = jnp.minimum(world.n_poses, config.capacity.max_poses - 1)
+    world = world._replace(
+        pose=new_pose,
+        trajectory=world.trajectory.at[idx].set(new_pose),
+        n_poses=jnp.minimum(world.n_poses + 1, config.capacity.max_poses),
+    )
+    return world, new_pose
+
+
+def measure(
+    world: WorldState, key: jax.Array, config: ExplorationConfig
+) -> Measurements:
+    """Noisy bearing/range to all visible landmarks (see module docstring)."""
+    s = config.sensor
+    bearing, rng = se2.bearing_range(world.pose[None, :], world.landmarks)
+    kb, kr = jax.random.split(key)
+    nb = jax.random.normal(kb, bearing.shape) * s.bearing_noise
+    nr = jax.random.normal(kr, rng.shape) * s.range_noise
+    noisy_b = bearing + nb
+    noisy_r = rng + nr
+    # kd radius query on true distance, then the noisy FoV/range check
+    # (strict inequalities, including min_range — Simulator2D.cpp:100-105).
+    valid = (
+        world.landmark_valid
+        & (rng < s.max_range)
+        & (noisy_b < s.max_bearing)
+        & (noisy_b > s.min_bearing)
+        & (noisy_r < s.max_range)
+        & (noisy_r > s.min_range)
+    )
+    return Measurements(bearing=noisy_b, range=noisy_r, valid=valid)
+
+
+def measure_noiseless(
+    pose: jax.Array, points: jax.Array, config: ExplorationConfig, with_min_range: bool
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Noiseless measurement + visibility check used by the raster updates.
+
+    ``with_min_range=False`` corresponds to ``checkWithoutMinRange``
+    (``Simulator2D.cpp:107-111``).  Returns (bearing, range, visible)."""
+    s = config.sensor
+    bearing, rng = se2.bearing_range(pose, points)
+    visible = (bearing < s.max_bearing) & (bearing > s.min_bearing) & (rng < s.max_range)
+    if with_min_range:
+        visible = visible & (rng > s.min_range)
+    return bearing, rng, visible

@@ -1,0 +1,19 @@
+"""Test harness: run on a virtual 8-device CPU mesh.
+
+jax is pre-imported by the environment's sitecustomize with a TPU platform
+selected, so the platform must be overridden through jax.config (env vars are
+read too late).  XLA_FLAGS is still honoured because CPU client creation
+happens lazily at first device use.
+"""
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# Belief-covariance math is validated at high precision on CPU; the TPU path
+# uses float32 with HIGHEST matmul precision set in library code.
+jax.config.update("jax_default_matmul_precision", "highest")
