@@ -1,0 +1,133 @@
+"""Utility function and per-goal reward rollouts (reference
+``EMPlanner2D::calculateUtility`` / ``simulations_reward``,
+``/root/reference/src/em_exploration/Planner2D.cpp:343-366,1416-1468``).
+
+``simulations_reward`` is the reference's dominant serial cost: for every
+candidate goal it clones the SLAM state, the virtual map and the simulator and
+replays the macro-action sequence through the full belief-update stack.  Here
+one rollout is a ``lax.scan`` over (masked) primitive actions, and the
+per-goal loop is ``lax.map`` (sequential, bounding live memory to one forked
+joint covariance per world) — batched over worlds by the caller's ``vmap``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ExplorationConfig
+from . import belief as bel
+from . import virtual_map as vm
+from . import world as wd
+from .actions import MacroActions
+from .belief import BeliefState
+from .virtual_map import VirtualMapState
+from .world import WorldState
+
+
+def calculate_utility(
+    vmap_state: VirtualMapState, distance: jax.Array, config: ExplorationConfig
+) -> jax.Array:
+    """Sum of per-cell covariance traces + adaptive distance weight
+    (``Planner2D.cpp:343-366``): weight interpolates from ``distance_weight0``
+    to ``distance_weight1`` as the fraction of known cells
+    (prob < occupancy_threshold) grows."""
+    pl = config.planner
+    uncertainty = jnp.sum(vm.to_cov_trace(vmap_state))
+    known = jnp.mean(
+        (vmap_state.prob < pl.occupancy_threshold).astype(jnp.float32)
+    )
+    weight = pl.distance_weight0 - (pl.distance_weight0 - pl.distance_weight1) * known
+    return uncertainty + distance * weight
+
+
+def rollout_reward(
+    world_state: WorldState,
+    belief: BeliefState,
+    vmap_state: VirtualMapState,
+    actions: MacroActions,
+    key: jax.Array,
+    config: ExplorationConfig,
+) -> jax.Array:
+    """Forked-state rollout of one macro-action sequence; reward =
+    utility(before) - utility(after) (``Planner2D.cpp:1416-1468``)."""
+    aw = config.planner.angle_weight
+    initial_u = calculate_utility(vmap_state, jnp.float32(0.0), config)
+
+    def step(carry, inputs):
+        w, b, v, dist = carry
+        odom, valid, k = inputs
+        km, ks = jax.random.split(k)
+
+        def do(args):
+            w, b, v, dist = args
+            dist = dist + jnp.sqrt(
+                odom[0] ** 2 + odom[1] ** 2 + aw * odom[2] ** 2
+            )
+            w2, _ = wd.move(w, odom, km, config)
+            b2 = bel.add_odometry(b, odom, config)
+            meas = wd.measure(w2, ks, config)
+            b2 = bel.add_measurements(b2, meas, config)
+            v2 = vm.update_probability(v, b2, config)
+            v2 = vm.update_information(v2, b2, config)
+            return w2, b2, v2, dist
+
+        w, b, v, dist = jax.lax.cond(valid, do, lambda a: a, (w, b, v, dist))
+        return (w, b, v, dist), None
+
+    keys = jax.random.split(key, actions.odoms.shape[0])
+    (w, b, v, dist), _ = jax.lax.scan(
+        step,
+        (world_state, belief, vmap_state, jnp.float32(0.0)),
+        (actions.odoms, actions.valid, keys),
+    )
+    final_u = calculate_utility(v, dist, config)
+    return initial_u - final_u
+
+
+def rewards_all_goals(
+    world_state: WorldState,
+    belief: BeliefState,
+    vmap_state: VirtualMapState,
+    goal_actions: MacroActions,  # stacked over goals: odoms (G, A, 3) etc.
+    goal_valid: jax.Array,  # (G,) bool — which goal slots are real frontiers
+    key: jax.Array,
+    config: ExplorationConfig,
+) -> jax.Array:
+    """(G,) raw rewards for every candidate goal, NaN for invalid slots
+    (normalisation happens at the env level,
+    ``/root/reference/scripts/envs/exploration_env.py:145-162``)."""
+    g = goal_valid.shape[0]
+    keys = jax.random.split(key, g)
+
+    def one(args):
+        odoms, valid, k, gv = args
+        acts = MacroActions(odoms=odoms, valid=valid, n_actions=valid.sum())
+        r = rollout_reward(world_state, belief, vmap_state, acts, k, config)
+        return jnp.where(gv, r, jnp.nan)
+
+    return jax.lax.map(
+        one, (goal_actions.odoms, goal_actions.valid, keys, goal_valid)
+    )
+
+
+def normalize_rewards(
+    raw: jax.Array, goal_valid: jax.Array, nearest_is_best: jax.Array
+) -> jax.Array:
+    """The reference's reward-normalisation regimes
+    (``exploration_env.py:154-162``): scale to [-1, 0] when the best goal is
+    the robot-nearest frontier, else to [-1, 1] (loop-closure bonus)."""
+    valid = goal_valid & jnp.isfinite(raw)
+    big = jnp.where(valid, raw, -jnp.inf)
+    small = jnp.where(valid, raw, jnp.inf)
+    mx = jnp.max(big)
+    mn = jnp.min(small)
+    hi = jnp.where(nearest_is_best, 0.0, 1.0)
+    span = mx - mn
+    scaled = jnp.where(
+        span > 0,
+        -1.0 + (raw - mn) * (hi + 1.0) / jnp.where(span > 0, span, 1.0),
+        # np.interp with a degenerate (v, v) source range returns fp[-1]
+        hi,
+    )
+    return jnp.where(valid, scaled, 0.0)
