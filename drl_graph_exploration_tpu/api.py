@@ -1,0 +1,257 @@
+"""Stateful, gym-style wrapper over the functional core — the drop-in
+counterpart of the reference's ``ExplorationEnv``
+(``/root/reference/scripts/envs/exploration_env.py:22-105``) for single-world
+interactive use.  Training uses the batched functional path directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ExplorationConfig
+from .env import belief as bel
+from .env import exploration_env as ee
+from .env import virtual_map as vm
+
+
+class ExplorationEnv:
+    """API parity with the reference class:
+
+    * ``reset() -> obs`` (the probability raster, like the reference's
+      ``_get_obs``),
+    * ``step(action) -> (obs, done, {})`` — the reference's 3-tuple,
+    * ``graph_matrix() -> (adjacency, features, global_features, fro_size)``
+      as dense numpy arrays trimmed to the real node count,
+    * ``actions_all_goals() / rewards_all_goals(...)``,
+    * ``status() / done() / get_landmark_error() / max_uncertainty_of_trajectory()``.
+    """
+
+    def __init__(
+        self,
+        map_size: float = 40.0,
+        env_index: int = 0,
+        test: bool = False,
+        config: ExplorationConfig | None = None,
+    ):
+        self.config = (config or ExplorationConfig()).with_map_size(map_size)
+        self.map_size = map_size
+        self.env_index = env_index
+        self.test = test
+        self._rng = np.random.default_rng(None if not test else env_index)
+        self._reset_fn = jax.jit(lambda k: ee.reset(k, self.config))
+        self._step_fn = jax.jit(lambda s, o: ee.env_step(s, o, self.config))
+        self._obs_fn = jax.jit(lambda s: ee.observe(s, self.config))
+        self._acts_fn = jax.jit(lambda s, f: ee.actions_all_goals(s, f, self.config))
+        self._rew_fn = jax.jit(
+            lambda s, f, a: ee.rewards_all_goals(s, f, a, self.config)
+        )
+        self.loop_clo = False
+        self.dist = 0.0
+        self.reset()
+
+    # ------------------------------------------------------------------ core
+
+    def reset(self) -> np.ndarray:
+        seed = self.env_index if self.test else int(self._rng.integers(0, 2**31 - 1))
+        self.state = self._reset_fn(jax.random.PRNGKey(seed))
+        self.dist = 0.0
+        return self._get_obs()
+
+    def _get_obs(self) -> np.ndarray:
+        return np.asarray(self.state.vmap.prob)
+
+    def step(self, action) -> tuple[np.ndarray, bool, dict[str, Any]]:
+        odom = jnp.asarray(action, jnp.float32)
+        self.state = self._step_fn(self.state, odom)
+        self.dist = float(self.state.dist)
+        return self._get_obs(), self.done(), {}
+
+    def done(self) -> bool:
+        return bool(ee.is_done(self.state, self.config))
+
+    def status(self) -> float:
+        return float(vm.explored(self.state.vmap, self.config))
+
+    # ------------------------------------------------------- decision layer
+
+    def graph_matrix(self):
+        obs, frontiers = self._obs_fn(self.state)
+        self._frontiers = frontiers
+        n = int(obs.key_size) + int(obs.fro_size)
+        adjacency = np.asarray(obs.adjacency)[:n, :n]
+        features = np.asarray(obs.features)[:n]
+        return adjacency, features, np.asarray(obs.global_features), int(obs.fro_size)
+
+    def actions_all_goals(self) -> list[list[np.ndarray]]:
+        acts = self._acts_fn(self.state, self._frontiers)
+        self._acts = acts
+        key_size = int(self.state.belief.n_keys)
+        out: list[list[np.ndarray]] = [[] for _ in range(key_size)]
+        for g in range(int(self._frontiers.count)):
+            n = int(acts.n_actions[g])
+            out.append([np.asarray(acts.odoms[g, i]) for i in range(n)])
+        return out
+
+    def rewards_all_goals(self, all_actions=None) -> np.ndarray:
+        norm, raw, self.state = self._rew_fn(self.state, self._frontiers, self._acts)
+        self.loop_clo = bool(self.state.loop_clo)
+        key_size = int(self.state.belief.n_keys)
+        g = int(self._frontiers.count)
+        out = np.zeros(key_size + g)
+        out[key_size:] = np.asarray(norm)[:g]
+        return out
+
+    # ------------------------------------------------------------- metrics
+
+    def get_landmark_error(self, sigma0: float = 1.0) -> float:
+        return float(ee.landmark_error(self.state, self.config))
+
+    def max_uncertainty_of_trajectory(self) -> float:
+        return float(ee.max_uncertainty_of_trajectory(self.state, self.config))
+
+    def get_key_size(self) -> int:
+        return int(self.state.belief.n_keys)
+
+    def get_landmark_size(self) -> int:
+        return int(self.state.belief.lm_seen.sum())
+
+    def get_dist(self) -> float:
+        return self.dist
+
+    # ------------------------------------------------------------ rendering
+
+    def render(self, mode: str = "human", close: bool = False, savefig: str | None = None):
+        """Matplotlib scene render (reference ``ExplorationEnv.render``)."""
+        if close:
+            return
+        import matplotlib
+
+        if savefig:
+            matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        from .utils.plotting import render_state
+
+        plt.figure(1)
+        plt.clf()
+        render_state(self.state, self.config)
+        if savefig:
+            plt.savefig(savefig, dpi=150, bbox_inches="tight")
+            plt.close()
+        else:
+            plt.pause(0.001)
+
+
+class EMExplorer(ExplorationEnv):
+    """EM-planner facade (reference ``EMExplorer``,
+    ``/root/reference/scripts/envs/pyplanner2d.py:56-152``): adds ``plan`` /
+    ``rrt_plan`` / ``line_plan`` / ``follow_path`` / ``simulations_reward`` /
+    ``calculate_utility`` on top of the env."""
+
+    def __init__(self, *args, planner_seed: int = 0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.planner_seed = planner_seed
+        self._solution: list[np.ndarray] = []
+
+    def plan(self) -> bool:
+        from .env import planner as pl
+
+        result, odoms = pl.optimize2(self.state, self.config, self.planner_seed)
+        self._solution = odoms
+        return result == pl.OptimizationResult.SUCCESS
+
+    def rrt_plan(self, goal_key: int, fron) -> bool:
+        from .env import planner as pl
+
+        result, odoms = pl.rrt_plan(
+            self.state, np.asarray(fron, float), self.config, self.planner_seed
+        )
+        self._solution = odoms
+        return result == pl.OptimizationResult.SUCCESS
+
+    def line_plan(self, goal_key: int, fron) -> list[np.ndarray]:
+        from .env import actions as act
+
+        root = bel.current_pose(self.state.belief, self.config)
+        macro = act.line_plan(root, jnp.asarray(fron, jnp.float32), self.config)
+        n = int(macro.n_actions)
+        return [np.asarray(macro.odoms[i]) for i in range(n)]
+
+    def follow_path(self, steps: int = 3) -> bool:
+        for odom in self._solution[:steps]:
+            _, done, _ = self.step(odom)
+            if done:
+                return True
+        return False
+
+    def calculate_utility(self, distance: float) -> float:
+        from .env import reward as rw
+
+        return float(
+            rw.calculate_utility(
+                self.state.vmap, jnp.float32(distance), self.config
+            )
+        )
+
+    def simulations_reward(self, actions_list) -> float:
+        from .env import actions as act
+        from .env import reward as rw
+
+        a_cap = self.config.capacity.max_macro_actions
+        odoms = np.zeros((a_cap, 3), np.float32)
+        valid = np.zeros((a_cap,), bool)
+        for i, a in enumerate(actions_list[:a_cap]):
+            odoms[i] = np.asarray(a)
+            valid[i] = True
+        macro = act.MacroActions(
+            odoms=jnp.asarray(odoms),
+            valid=jnp.asarray(valid),
+            n_actions=jnp.int32(int(valid.sum())),
+        )
+        k1, k2 = jax.random.split(self.state.rng)
+        self.state = self.state._replace(rng=k2)
+        r = rw.rollout_reward(
+            self.state.world, self.state.belief, self.state.vmap, macro,
+            k1, self.config,
+        )
+        return float(r)
+
+    @property
+    def distance(self) -> float:
+        return self.dist
+
+
+def explore(
+    map_size: float = 40.0,
+    max_distance: float = 450.0,
+    seed: int = 0,
+    max_iterations: int = 200,
+    config: ExplorationConfig | None = None,
+):
+    """Non-learned EM-planner exploration baseline (reference ``explore()``,
+    ``pyplanner2d.py:155-195``): 4-step initial scan happens in reset; then
+    plan -> follow 5 edges until done/termination."""
+    from .env import planner as pl
+
+    explorer = EMExplorer(map_size=map_size, env_index=seed, test=True, config=config)
+    status = "MAX_DISTANCE"
+    for step in range(max_iterations):
+        ok = explorer.plan()
+        if not ok:
+            # SAMPLING_FAILURE -> rotate in place (reference behaviour)
+            explorer.step(np.array([0.0, 0.0, np.pi / 4]))
+            continue
+        if not explorer._solution:
+            status = "NO SOLUTION"
+            break
+        if explorer.follow_path(5):
+            status = "DONE"
+            break
+        if explorer.distance > max_distance:
+            break
+    return status, explorer

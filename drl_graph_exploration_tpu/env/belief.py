@@ -199,7 +199,7 @@ def _add_odometry_impl(
     )
 
     prev_rows = jax.lax.dynamic_slice(belief.cov, (r_old, 0), (3, d))  # (3, D)
-    new_rows = f @ prev_rows
+    new_rows = jnp.matmul(f, prev_rows, precision=jax.lax.Precision.HIGHEST)
     p11 = jax.lax.dynamic_slice(prev_rows, (0, r_old), (3, 3))
     new_block = f @ p11 @ f.T + g @ q @ g.T
 
@@ -226,118 +226,185 @@ def _add_odometry_impl(
 # measurement update
 
 
-def _ekf_update(belief, j, z, config: ExplorationConfig):
-    """Joseph-form EKF update with measurement sparse over (current pose, lm j)."""
-    cap = config.capacity
-    d = cap.state_dim
-    s = config.sensor
-    t = belief.n_poses - 1
-    pr = 3 * t
-    lr = 3 * cap.max_poses + 2 * j
-
-    x = jax.lax.dynamic_slice(belief.mu, (pr,), (3,))
-    lmp = jax.lax.dynamic_slice(belief.mu, (lr,), (2,))
-    hb, hr = se2.bearing_range(x, lmp)
-    hx, hl = se2.bearing_range_jacobians_global(x, lmp)  # (2,3), (2,2)
-    nu = jnp.array([se2.wrap_angle(z[0] - hb), z[1] - hr])
-    r_noise = jnp.diag(jnp.array([s.bearing_noise, s.range_noise]) ** 2)
-
-    cx = jax.lax.dynamic_slice(belief.cov, (0, pr), (d, 3))  # Sigma[:, pose]
-    cl = jax.lax.dynamic_slice(belief.cov, (0, lr), (d, 2))  # Sigma[:, lm]
-    pht = cx @ hx.T + cl @ hl.T  # (D, 2)
-    s_mat = (
-        hx @ jax.lax.dynamic_slice(pht, (pr, 0), (3, 2))
-        + hl @ jax.lax.dynamic_slice(pht, (lr, 0), (2, 2))
-        + r_noise
-    )
-    k = jnp.linalg.solve(s_mat.T, pht.T).T  # (D, 2)
-
-    mu = belief.mu + k @ nu
-    cov = belief.cov - k @ pht.T - pht @ k.T + k @ (s_mat @ k.T)
-    cov = 0.5 * (cov + cov.T)
-    return belief._replace(mu=mu, cov=cov)
-
-
-def _init_landmark(belief, j, z, config: ExplorationConfig):
-    """Augment the state with landmark ``j`` initialised from the measurement
-    (the reference inserts ``transformFrom`` as the initial estimate and lets
-    the solver absorb the factor, ``SLAM2D.cpp:103-124``; consuming the
-    measurement in the initialisation is the information-equivalent EKF form).
-    """
-    cap = config.capacity
-    d = cap.state_dim
-    s = config.sensor
-    t = belief.n_poses - 1
-    pr = 3 * t
-    lr = 3 * cap.max_poses + 2 * j
-
-    x = jax.lax.dynamic_slice(belief.mu, (pr,), (3,))
-    b, rng = z[0], z[1]
-    v = jnp.array([rng * jnp.cos(b), rng * jnp.sin(b)])  # body-frame point
-    lmp = se2.transform_from(x, v)
-
-    rot = se2.rot2(x[2])
-    dtheta = se2.rot2(x[2] + jnp.pi / 2.0) @ v  # d (R v) / d theta
-    jx = jnp.concatenate([jnp.eye(2), dtheta[:, None]], axis=1)  # (2, 3)
-    dv_db = jnp.array([-rng * jnp.sin(b), rng * jnp.cos(b)])
-    dv_dr = jnp.array([jnp.cos(b), jnp.sin(b)])
-    jz = rot @ jnp.stack([dv_db, dv_dr], axis=1)  # (2, 2)
-    r_noise = jnp.diag(jnp.array([s.bearing_noise, s.range_noise]) ** 2)
-
-    pose_rows = jax.lax.dynamic_slice(belief.cov, (pr, 0), (3, d))  # (3, D)
-    new_rows = jx @ pose_rows  # (2, D)
-    p_xx = jax.lax.dynamic_slice(pose_rows, (0, pr), (3, 3))
-    new_block = jx @ p_xx @ jx.T + jz @ r_noise @ jz.T
-
-    cov = belief.cov
-    cov = jax.lax.dynamic_update_slice(cov, new_rows, (lr, 0))
-    cov = jax.lax.dynamic_update_slice(cov, new_rows.T, (0, lr))
-    cov = jax.lax.dynamic_update_slice(cov, new_block, (lr, lr))
-    mu = jax.lax.dynamic_update_slice(belief.mu, lmp, (lr,))
-
-    key_log = belief.key_log.at[belief.n_keys].set(cap.max_poses + j)
-    return belief._replace(
-        mu=mu,
-        cov=cov,
-        lm_seen=belief.lm_seen.at[j].set(True),
-        key_log=key_log,
-        lm_key_pos=belief.lm_key_pos.at[j].set(belief.n_keys),
-        n_keys=belief.n_keys + 1,
-    )
-
-
 def add_measurements(
     belief: BeliefState, meas: Measurements, config: ExplorationConfig
 ) -> BeliefState:
-    """Fold one step's measurement set into the belief, iterating landmarks in
-    index order (the reference's key-sorted iteration order)."""
+    """Fold one step's measurement set into the belief.
+
+    TPU-native structure: instead of 16 sequential rank-2 Joseph updates
+    (K-dim-2 outer products are ~1% MXU utilisation), all measurements of
+    already-seen landmarks become ONE joint rank-2L update — a (D, 2L)
+    Kalman gain and three (D, 2L) x (2L, D) matmuls.  Joint conditioning at a
+    single linearisation point is exactly what the reference's iSAM2 solve
+    does with the step's factor batch.  New landmarks are then initialised in
+    one batched augmentation (including new-new cross-covariances).  Masked
+    slots contribute zero rows in H and unit diagonals in S, so invalid /
+    unseen entries are exact no-ops.
+    """
     cap = config.capacity
+    d = cap.state_dim
+    l = cap.max_landmarks
+    s = config.sensor
     t = belief.n_poses - 1
+    pr = 3 * t
+    lr0 = 3 * cap.max_poses
 
-    def body(j, b):
-        z = jnp.array([meas.bearing[j], meas.range[j]])
+    upd_mask = meas.valid & belief.lm_seen
+    new_mask = meas.valid & ~belief.lm_seen
 
-        def on_valid(b):
-            b = jax.lax.cond(
-                b.lm_seen[j],
-                lambda bb: _ekf_update(bb, j, z, config),
-                lambda bb: _init_landmark(bb, j, z, config),
-                b,
-            )
-            # factor log + last-wins adjacency weight
-            idx = jnp.minimum(b.n_meas, cap.max_measurements - 1)
-            return b._replace(
-                meas_pose=b.meas_pose.at[idx].set(t),
-                meas_lm=b.meas_lm.at[idx].set(j),
-                meas_z=b.meas_z.at[idx].set(z),
-                n_meas=jnp.minimum(b.n_meas + 1, cap.max_measurements),
-                pair_range=b.pair_range.at[t, j].set(z[1]),
-                pair_seen=b.pair_seen.at[t, j].set(True),
-            )
+    x = jax.lax.dynamic_slice(belief.mu, (pr,), (3,))
+    lm = belief.mu[lr0:].reshape(l, 2)
+    mu, cov = belief.mu, belief.cov
 
-        return jax.lax.cond(meas.valid[j], on_valid, lambda bb: bb, b)
+    # ----------------------------------------------------- joint EKF update
+    hb, hr = se2.bearing_range(x[None, :], lm)  # (L,)
+    hx, hl = se2.bearing_range_jacobians_global(x[None, :], lm)  # (L,2,3),(L,2,2)
+    m3 = upd_mask[:, None, None]
+    hx = jnp.where(m3, hx, 0.0)
+    hl = jnp.where(m3, hl, 0.0)
+    nu = jnp.stack(
+        [se2.wrap_angle(meas.bearing - hb), meas.range - hr], axis=-1
+    )  # (L, 2)
+    nu = jnp.where(upd_mask[:, None], nu, 0.0).reshape(2 * l)
+    r_diag = jnp.where(
+        upd_mask[:, None],
+        jnp.array([s.bearing_noise, s.range_noise]) ** 2,
+        1.0,
+    ).reshape(2 * l)
 
-    return jax.lax.fori_loop(0, cap.max_landmarks, body, belief)
+    prec = jax.lax.Precision.HIGHEST
+    c_pose = jax.lax.dynamic_slice(cov, (0, pr), (d, 3))  # (D, 3)
+    c_lm = cov[:, lr0:]  # (D, 2L) — landmark block is contiguous
+    hx_flat = hx.reshape(2 * l, 3)
+    pht = jnp.matmul(c_pose, hx_flat.T, precision=prec) + jnp.einsum(
+        "dlj,lkj->dlk", c_lm.reshape(d, l, 2), hl, precision=prec
+    ).reshape(d, 2 * l)  # (D, 2L) = Sigma H^T
+
+    pht_pose = jax.lax.dynamic_slice(pht, (pr, 0), (3, 2 * l))  # (3, 2L)
+    pht_lm = pht[lr0:].reshape(l, 2, 2 * l)  # per-lm rows of Sigma H^T
+    s_mat = (
+        jnp.matmul(hx_flat, pht_pose, precision=prec)
+        + jnp.einsum("ljk,lkM->ljM", hl, pht_lm, precision=prec).reshape(
+            2 * l, 2 * l
+        )
+        + jnp.diag(r_diag)
+    )
+    s_mat = 0.5 * (s_mat + s_mat.T)
+    k = jnp.linalg.solve(s_mat, pht.T).T  # (D, 2L)
+
+    mu = mu + k @ nu
+    # Joseph-expanded update; symmetric by construction (s_mat symmetrised),
+    # so no extra full-matrix symmetrisation pass.  HIGHEST precision: the
+    # rank-2L downdate in bf16 passes destroys positive-definiteness.
+    cov = (
+        cov
+        - jnp.matmul(k, pht.T, precision=prec)
+        - jnp.matmul(pht, k.T, precision=prec)
+        + jnp.matmul(jnp.matmul(k, s_mat, precision=prec), k.T, precision=prec)
+    )
+
+    # ------------------------------------------- batched landmark insertion
+    # (unconditional: under vmap a lax.cond lowers to select and would run
+    # both branches anyway)
+    mu, cov = _insert_landmarks(mu, cov, x, jnp.asarray(pr), meas, new_mask, config)
+
+    # ----------------------------------------------------------- bookkeeping
+    # key order: new landmarks append in index order
+    new_off = jnp.cumsum(new_mask) - 1
+    key_pos = belief.n_keys + new_off
+    safe_pos = jnp.where(new_mask, key_pos, cap.max_poses + l)  # scatter-drop
+    key_log = jnp.zeros((belief.key_log.shape[0] + 1,), belief.key_log.dtype)
+    key_log = key_log.at[: belief.key_log.shape[0]].set(belief.key_log)
+    key_log = key_log.at[safe_pos].set(
+        jnp.where(new_mask, cap.max_poses + jnp.arange(l), 0)
+    )[: belief.key_log.shape[0]]
+    lm_key_pos = jnp.where(new_mask, key_pos, belief.lm_key_pos)
+    n_keys = belief.n_keys + jnp.sum(new_mask)
+
+    # factor log: all valid measurements in index order
+    val_off = jnp.cumsum(meas.valid) - 1
+    midx = jnp.minimum(belief.n_meas + val_off, cap.max_measurements - 1)
+    midx = jnp.where(meas.valid, midx, cap.max_measurements)  # scatter-drop
+    pad = lambda a: jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0)
+    meas_pose = pad(belief.meas_pose).at[midx].set(t)[:-1]
+    meas_lm = pad(belief.meas_lm).at[midx].set(jnp.arange(l))[:-1]
+    meas_z = pad(belief.meas_z).at[midx].set(
+        jnp.stack([meas.bearing, meas.range], axis=-1)
+    )[:-1]
+    n_meas = jnp.minimum(
+        belief.n_meas + jnp.sum(meas.valid), cap.max_measurements
+    )
+
+    pair_range = belief.pair_range.at[t].set(
+        jnp.where(meas.valid, meas.range, belief.pair_range[t])
+    )
+    pair_seen = belief.pair_seen.at[t].set(belief.pair_seen[t] | meas.valid)
+
+    return belief._replace(
+        mu=mu,
+        cov=cov,
+        lm_seen=belief.lm_seen | new_mask,
+        meas_pose=meas_pose,
+        meas_lm=meas_lm,
+        meas_z=meas_z,
+        n_meas=n_meas,
+        pair_range=pair_range,
+        pair_seen=pair_seen,
+        key_log=key_log,
+        n_keys=n_keys,
+        lm_key_pos=lm_key_pos,
+    )
+
+
+def _insert_landmarks(mu, cov, x, pr, meas, new_mask, config: ExplorationConfig):
+    """Batched landmark-state augmentation with exact cross-covariances
+    (the information-equivalent EKF form of the reference's
+    landmark-init-plus-factor insertion, ``SLAM2D.cpp:103-124``)."""
+    cap = config.capacity
+    d = cap.state_dim
+    l = cap.max_landmarks
+    s = config.sensor
+    lr0 = 3 * cap.max_poses
+
+    zb, zr = meas.bearing, meas.range
+    v = jnp.stack([zr * jnp.cos(zb), zr * jnp.sin(zb)], axis=-1)  # (L, 2) body
+    lmp = se2.transform_from(x[None, :], v)  # (L, 2)
+    rot = se2.rot2(x[2])
+    dtheta = (se2.rot2(x[2] + jnp.pi / 2.0)[None] @ v[..., None])[..., 0]  # (L,2)
+    jx = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(2), (l, 2, 2)), dtheta[..., None]], axis=-1
+    )  # (L, 2, 3)
+    dv_db = jnp.stack([-zr * jnp.sin(zb), zr * jnp.cos(zb)], axis=-1)
+    dv_dr = jnp.stack([jnp.cos(zb), jnp.sin(zb)], axis=-1)
+    jz = rot[None] @ jnp.stack([dv_db, dv_dr], axis=-1)  # (L, 2, 2)
+    r_noise = jnp.diag(jnp.array([s.bearing_noise, s.range_noise]) ** 2)
+
+    pose_rows = jax.lax.dynamic_slice(cov, (pr, 0), (3, d))  # (3, D)
+    rows_new = jnp.einsum(
+        "lij,jD->liD", jx, pose_rows, precision=jax.lax.Precision.HIGHEST
+    )  # (L, 2, D)
+    p_xx = jax.lax.dynamic_slice(pose_rows, (0, pr), (3, 3))
+    cross = jnp.einsum("aij,jk,bmk->aibm", jx, p_xx, jx)  # (L,2,L,2)
+    noise_blk = jnp.einsum("lij,jk,lmk->lim", jz, r_noise, jz)  # (L, 2, 2)
+
+    # overwrite rows/cols of new landmarks
+    nm2 = jnp.repeat(new_mask, 2)  # (2L,)
+    lm_rows = jnp.where(nm2[:, None], rows_new.reshape(2 * l, d), cov[lr0:])
+    cov = cov.at[lr0:, :].set(lm_rows)
+    cov = cov.at[:, lr0:].set(lm_rows.T)
+    # lm-lm subblock: both-new pairs get the exact cross terms
+    both_new = (new_mask[:, None] & new_mask[None, :])[:, None, :, None]
+    lmlm = cov[lr0:, lr0:].reshape(l, 2, l, 2)
+    diag_add = jnp.zeros((l, 2, l, 2)).at[
+        jnp.arange(l), :, jnp.arange(l), :
+    ].set(noise_blk)
+    lmlm = jnp.where(both_new, cross + diag_add, lmlm)
+    cov = cov.at[lr0:, lr0:].set(lmlm.reshape(2 * l, 2 * l))
+
+    mu = mu.at[lr0:].set(
+        jnp.where(new_mask[:, None], lmp, mu[lr0:].reshape(l, 2)).reshape(2 * l)
+    )
+    return mu, cov
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,368 @@
+"""EM planner: RRT over belief space (reference ``EMPlanner2D``,
+``/root/reference/src/em_exploration/Planner2D.cpp``).
+
+Split by what the hardware is good at:
+
+* **Tree growth** (``optimize``/``optimize2``/``rrt_planner`` sampling loops,
+  ``Planner2D.cpp:838-935, 1043-1279``) is pointer-chasing over a few hundred
+  nodes — host-side numpy with the reference's Halton sampling, nearest-node
+  metric (range^2 + (angle_weight*bearing)^2, ``Distance.cpp:5-9``),
+  max-edge clamping and segment safety checks.
+* **Leaf evaluation** (``updateTrajectory_EM`` + virtual-map information +
+  uncertainty, the expensive part: a belief rollout per leaf) is batched on
+  the accelerator: every leaf's waypoint chain becomes a masked ``lax.scan``
+  of covariance-form belief updates — the same machinery as the reward
+  engine — vmapped over leaves.
+
+The reference evaluates candidate measurements against the *estimated* map
+with noiseless sensing (``Planner2D.cpp:714-715``); ditto here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from enum import Enum
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExplorationConfig
+from ..geometry import halton as qmc
+from ..geometry import se2
+from . import belief as bel
+from . import virtual_map as vm
+from .belief import BeliefState
+from .virtual_map import VirtualMapState
+from .world import Measurements
+
+
+class OptimizationResult(Enum):
+    SUCCESS = 0
+    SAMPLING_FAILURE = 1
+    NO_SOLUTION = 2
+    TERMINATION = 3
+
+
+class RRTree(NamedTuple):
+    """Host-side tree (numpy)."""
+
+    poses: np.ndarray  # (N, 3)
+    parent: np.ndarray  # (N,)
+    distance: np.ndarray  # (N,)
+    n_nodes: int
+
+
+MAX_TREE = 2048
+MAX_DEPTH = 64
+
+
+def _sq_pose_distance(poses: np.ndarray, pose: np.ndarray, angle_weight: float):
+    """``sqDistanceBetweenPoses``: range^2 + (angle_weight * bearing)^2 where
+    bearing is of ``pose`` seen from each tree pose."""
+    dx = pose[0] - poses[:, 0]
+    dy = pose[1] - poses[:, 1]
+    rng2 = dx**2 + dy**2
+    bearing = np.arctan2(dy, dx) - poses[:, 2]
+    bearing = np.arctan2(np.sin(bearing), np.cos(bearing))
+    return rng2 + (angle_weight * bearing) ** 2
+
+
+class HostPlanner:
+    """Deterministic host-side RRT growth with the reference's control flow."""
+
+    def __init__(self, config: ExplorationConfig, seed: int = 0):
+        self.config = config
+        rng = np.random.default_rng(seed)
+        self.halton_count = int(rng.integers(0, 100000))
+
+    def _sample(self, landmarks, lm_valid, safe_distance):
+        """``sampleNode`` (``Planner2D.cpp:101-125``): Halton point in map
+        bounds, theta = u * 2pi, rejected within ``safe_distance`` of any
+        estimated landmark."""
+        cfg = self.config
+        for _ in range(1000):
+            u = np.asarray(qmc.halton(self.halton_count, 1, 3))[0]
+            self.halton_count += 1
+            x = cfg.map_min_x + u[0] * (cfg.map_max_x - cfg.map_min_x)
+            y = cfg.map_min_y + u[1] * (cfg.map_max_y - cfg.map_min_y)
+            theta = u[2] * 2.0 * np.pi
+            if lm_valid.any():
+                d = np.linalg.norm(landmarks[lm_valid] - np.array([x, y]), axis=1)
+                if (d < safe_distance).any():
+                    continue
+            return np.array([x, y, theta])
+        return None
+
+    def _is_segment_safe(self, p1, p2, landmarks, lm_valid, safe_distance):
+        """``isSafe(node, parent)`` (``Planner2D.cpp:58-86``): points every
+        ``safe_distance/2`` along the segment must clear the landmarks."""
+        if abs(safe_distance) < 1e-3 or not lm_valid.any():
+            return True
+        d = np.linalg.norm(p2[:2] - p1[:2])
+        if d < 1e-9:
+            return True
+        unit = (p2[:2] - p1[:2]) / d
+        l = safe_distance / 2
+        while l < d:
+            pt = p1[:2] + l * unit
+            dd = np.linalg.norm(landmarks[lm_valid] - pt, axis=1)
+            if (dd < safe_distance).any():
+                return False
+            l += safe_distance / 2
+        return True
+
+    def grow(
+        self,
+        root_pose: np.ndarray,
+        landmarks: np.ndarray,
+        lm_valid: np.ndarray,
+        max_nodes: int,
+        goal: np.ndarray | None = None,
+    ) -> tuple[OptimizationResult, RRTree]:
+        """``optimize2`` sampling loop (goal=None) or goal-directed
+        ``rrt_planner`` (``Planner2D.cpp:838-935``)."""
+        cfg = self.config
+        pl = cfg.planner
+        safe = pl.safe_distance
+        # initial safe-distance relaxation (Planner2D.cpp:1046-1054)
+        if lm_valid.any():
+            dmin = np.linalg.norm(
+                landmarks[lm_valid] - root_pose[:2], axis=1
+            ).min()
+            if dmin < safe:
+                safe = max(0.0, dmin - 0.1)
+
+        poses = np.zeros((MAX_TREE, 3))
+        parent = np.full(MAX_TREE, -1, np.int64)
+        distance = np.zeros(MAX_TREE)
+        poses[0] = root_pose
+        n = 1
+
+        num_nodes = 0
+        failed = 0
+        while True:
+            if goal is None and num_nodes >= max_nodes:
+                break
+            if n >= MAX_TREE - 1:
+                break
+            sample = self._sample(landmarks, lm_valid, safe)
+            if sample is None:
+                return OptimizationResult.SAMPLING_FAILURE, RRTree(
+                    poses, parent, distance, n
+                )
+            # nearest + connect (Planner2D.cpp:179-276)
+            p_idx = int(
+                np.argmin(_sq_pose_distance(poses[:n], sample, pl.angle_weight))
+            )
+            origin = poses[p_idx]
+            local = np.asarray(
+                se2.transform_to(jnp.asarray(origin), jnp.asarray(sample[:2]))
+            )
+            d = np.linalg.norm(local)
+            angle = np.arctan2(local[1], local[0])
+            step = min(d, pl.max_edge_length)
+            new_pose = np.asarray(
+                se2.compose(
+                    jnp.asarray(origin),
+                    jnp.array([step * np.cos(angle), step * np.sin(angle), angle]),
+                )
+            )
+            if not self._is_segment_safe(
+                new_pose, origin, landmarks, lm_valid, safe
+            ):
+                failed += 1
+                if failed > 1000:
+                    return OptimizationResult.SAMPLING_FAILURE, RRTree(
+                        poses, parent, distance, n
+                    )
+                continue
+            failed = 0
+            poses[n] = new_pose
+            parent[n] = p_idx
+            distance[n] = distance[p_idx] + np.sqrt(
+                _sq_pose_distance(origin[None], new_pose, pl.angle_weight)[0]
+            )
+            n += 1
+            num_nodes += 1
+
+            if goal is not None:
+                if np.linalg.norm(new_pose[:2] - goal[:2]) <= pl.max_edge_length:
+                    # attach the goal node (Planner2D.cpp:910-920)
+                    glocal = np.asarray(
+                        se2.transform_to(jnp.asarray(new_pose), jnp.asarray(goal[:2]))
+                    )
+                    ga = np.arctan2(glocal[1], glocal[0])
+                    gd = min(np.linalg.norm(glocal), pl.max_edge_length)
+                    gpose = np.asarray(
+                        se2.compose(
+                            jnp.asarray(new_pose),
+                            jnp.array([gd * np.cos(ga), gd * np.sin(ga), ga]),
+                        )
+                    )
+                    poses[n] = gpose
+                    parent[n] = n - 1
+                    distance[n] = distance[n - 1] + gd
+                    n += 1
+                    return OptimizationResult.SUCCESS, RRTree(
+                        poses, parent, distance, n
+                    )
+        return OptimizationResult.SUCCESS, RRTree(poses, parent, distance, n)
+
+
+def leaf_chains(tree: RRTree) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Extract padded root->leaf waypoint chains.
+
+    Returns (chains (L, MAX_DEPTH, 3), valid (L, MAX_DEPTH), leaf_ids (L,))."""
+    n = tree.n_nodes
+    is_parent = np.zeros(n, bool)
+    pids = tree.parent[1:n]
+    is_parent[pids[pids >= 0]] = True
+    leaves = [i for i in range(1, n) if not is_parent[i]]
+    chains = np.zeros((max(len(leaves), 1), MAX_DEPTH, 3))
+    valid = np.zeros((max(len(leaves), 1), MAX_DEPTH), bool)
+    for li, leaf in enumerate(leaves):
+        path = []
+        node = leaf
+        while node > 0 and len(path) < MAX_DEPTH:
+            path.append(tree.poses[node])
+            node = int(tree.parent[node])
+        path = path[::-1]
+        chains[li, : len(path)] = np.array(path)
+        valid[li, : len(path)] = True
+    return chains, valid, np.array(leaves if leaves else [0])
+
+
+@partial(jax.jit, static_argnums=(4,))
+def evaluate_chains(
+    belief: BeliefState,
+    vmap_state: VirtualMapState,
+    chains: jax.Array,  # (L, T, 3) waypoint poses
+    chain_valid: jax.Array,  # (L, T)
+    config: ExplorationConfig,
+) -> jax.Array:
+    """Batched ``updateTrajectory_EM`` + information + EM uncertainty per leaf
+    (``Planner2D.cpp:472-551, 1095-1114``): fork the belief, apply the chain's
+    odometry factors and noiseless predicted measurements of the estimated
+    landmarks, rebuild the information raster, and return
+    ``sum(weight * cov-trace)`` with weight 1 where prob > 0.49."""
+    s = config.sensor
+    lm = bel.lm_mu(belief, config)
+    lm_seen = belief.lm_seen
+
+    def one_chain(chain, valid):
+        def step(b, inp):
+            pose, v = inp
+            prev = bel.current_pose(b, config)
+            odom = se2.between(prev, pose)
+
+            def do(b):
+                b = bel.add_odometry(b, odom, config)
+                hb, hr = se2.bearing_range(pose[None, :], lm)
+                mvalid = (
+                    lm_seen
+                    & (hb < s.max_bearing)
+                    & (hb > s.min_bearing)
+                    & (hr < s.max_range)
+                    & (hr > s.min_range)
+                )
+                b = bel.add_measurements(
+                    b, Measurements(bearing=hb, range=hr, valid=mvalid), config
+                )
+                return b
+
+            return jax.lax.cond(v, do, lambda b: b, b), None
+
+        b, _ = jax.lax.scan(step, belief, (chain, valid))
+        v2 = vm.update_information(vmap_state, b, config)
+        trace = vm.to_cov_trace(v2)
+        weight = (vmap_state.prob > 0.49).astype(trace.dtype)
+        if config.planner.algorithm == "EM_DOPT":
+            det = jnp.linalg.det(v2.info)
+            return jnp.sum(weight / jnp.where(det == 0, 1.0, det))
+        return jnp.sum(weight * trace)
+
+    return jax.lax.map(lambda args: one_chain(*args), (chains, chain_valid))
+
+
+def distance_weight(vmap_state: VirtualMapState, config: ExplorationConfig) -> jax.Array:
+    """Adaptive distance weight (``Planner2D.cpp:1327-1333``)."""
+    pl = config.planner
+    known = jnp.mean(
+        (vmap_state.prob < pl.occupancy_threshold).astype(jnp.float32)
+    )
+    return pl.distance_weight0 - (pl.distance_weight0 - pl.distance_weight1) * known
+
+
+def optimize2(
+    env_state, config: ExplorationConfig, seed: int = 0
+) -> tuple[OptimizationResult, list[np.ndarray]]:
+    """Leaf-only EM planner (``EMPlanner2D::optimize2``): grow the tree, score
+    every leaf, return the odometry sequence to the best leaf
+    (root-to-leaf ``between`` steps, matching ``iter_solution`` +
+    ``follow_path``)."""
+    belief = env_state.belief
+    vms = env_state.vmap
+    root = np.asarray(bel.current_pose(belief, config))
+    landmarks = np.asarray(bel.lm_mu(belief, config))
+    lm_valid = np.asarray(belief.lm_seen)
+
+    prob = np.asarray(vms.prob)
+    vl_known = int((prob < config.planner.occupancy_threshold).sum())
+    max_nodes = int(np.floor(vl_known * config.planner.max_nodes))
+    if max_nodes < 1:
+        return OptimizationResult.NO_SOLUTION, []
+
+    planner = HostPlanner(config, seed)
+    result, tree = planner.grow(root, landmarks, lm_valid, max_nodes)
+    if result != OptimizationResult.SUCCESS:
+        return result, []
+    if tree.n_nodes <= 1:
+        return OptimizationResult.NO_SOLUTION, []
+
+    chains, valid, leaf_ids = leaf_chains(tree)
+    uncertainties = np.asarray(
+        evaluate_chains(belief, vms, jnp.asarray(chains), jnp.asarray(valid), config)
+    )
+    dw = float(distance_weight(vms, config))
+    costs = uncertainties + tree.distance[leaf_ids] * dw
+    best = int(np.argmin(costs))
+
+    # odometry sequence along the best chain
+    path = [root] + [p for p, v in zip(chains[best], valid[best]) if v]
+    odoms = [
+        np.asarray(se2.between(jnp.asarray(path[i]), jnp.asarray(path[i + 1])))
+        for i in range(len(path) - 1)
+    ]
+    return OptimizationResult.SUCCESS, odoms
+
+
+def rrt_plan(
+    env_state, goal_xy: np.ndarray, config: ExplorationConfig, seed: int = 0
+) -> tuple[OptimizationResult, list[np.ndarray]]:
+    """Goal-directed RRT (``EMPlanner2D::rrt_planner``)."""
+    belief = env_state.belief
+    root = np.asarray(bel.current_pose(belief, config))
+    landmarks = np.asarray(bel.lm_mu(belief, config))
+    lm_valid = np.asarray(belief.lm_seen)
+
+    planner = HostPlanner(config, seed)
+    goal = np.array([goal_xy[0], goal_xy[1], np.pi])
+    result, tree = planner.grow(root, landmarks, lm_valid, MAX_TREE, goal=goal)
+    if result != OptimizationResult.SUCCESS:
+        return result, []
+    # path from the attached goal node (last inserted) back to root
+    path = []
+    node = tree.n_nodes - 1
+    while node > 0 and len(path) < MAX_DEPTH:
+        path.append(tree.poses[node])
+        node = int(tree.parent[node])
+    path = path[::-1]
+    full = [root] + path
+    odoms = [
+        np.asarray(se2.between(jnp.asarray(full[i]), jnp.asarray(full[i + 1])))
+        for i in range(len(full) - 1)
+    ]
+    return OptimizationResult.SUCCESS, odoms

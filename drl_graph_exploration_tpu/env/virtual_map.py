@@ -179,59 +179,132 @@ def update_information(
 
     r_noise = jnp.diag(jnp.array([s.bearing_noise, s.range_noise]) ** 2)
 
-    init_info = jnp.broadcast_to(jnp.eye(2) / s0**2, (r * c, 2, 2))
-    init_updated = jnp.zeros((r * c,), bool)
+    # ------------------------------------------------------------------
+    # TPU layout: symmetric 2x2 matrices live as three scalar PLANES
+    # (a, b, d) over cells — (..., 2, 2) tensors put size-2 dims in the
+    # vector lanes and waste 126/128 of the VPU; planes keep every op a
+    # full-width elementwise kernel.  Also, instead of inverting Hl and
+    # cov_pred, use info_pred = Hl^T inner^-1 Hl (one 2x2 inverse).
+    #
+    # Poses are processed in chunks: predictions for a chunk in parallel,
+    # then the order-dependent CI fold unrolled within the chunk — identical
+    # pose order and arithmetic to the reference's sequential sweep with a
+    # fraction of the scan-iteration overhead.
+    # ------------------------------------------------------------------
+    sb2 = s.bearing_noise**2
+    sr2 = s.range_noise**2
+    cx_flat = flat_centers[:, 0]
+    cy_flat = flat_centers[:, 1]
+
+    chunk = 8
+    p = cap.max_poses
+    n_chunks = -(-p // chunk)
+    pad = n_chunks * chunk - p
+    poses_c = jnp.pad(poses, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+    cov_c = jnp.pad(cov_local, ((0, pad), (0, 0), (0, 0))).reshape(
+        n_chunks, chunk, 3, 3
+    )
+    active_c = jnp.pad(active, (0, pad)).reshape(n_chunks, chunk)
+
+    def predict(pose, sigma_x):
+        """Visibility + predicted-information planes (a, b, d) per cell."""
+        x0, y0, th = pose[0], pose[1], pose[2]
+        ct, st = jnp.cos(th), jnp.sin(th)
+        dx = cx_flat - x0
+        dy = cy_flat - y0
+        qx = ct * dx + st * dy
+        qy = -st * dx + ct * dy
+        r2 = qx * qx + qy * qy
+        rr = jnp.sqrt(r2)
+        bearing = jnp.arctan2(qy, qx)
+        vis = (
+            (bearing < s.max_bearing)
+            & (bearing > s.min_bearing)
+            & (rr < s.max_range)
+            & (rr > s.min_range)
+        )
+        ir2 = 1.0 / jnp.where(r2 == 0, 1.0, r2)
+        ir = 1.0 / jnp.where(rr == 0, 1.0, rr)
+
+        # Hx rows (local frame): hb = (qy/r2, -qx/r2, -1), hr = (-qx/r, -qy/r, 0)
+        hb1, hb2, hb3 = qy * ir2, -qx * ir2, -1.0
+        hr1, hr2 = -qx * ir, -qy * ir
+        s11, s12, s13 = sigma_x[0, 0], sigma_x[0, 1], sigma_x[0, 2]
+        s22, s23, s33 = sigma_x[1, 1], sigma_x[1, 2], sigma_x[2, 2]
+        # inner = Hx Sigma Hx^T + diag(sb2, sr2)
+        a11 = (
+            s11 * hb1 * hb1 + s22 * hb2 * hb2 + s33
+            + 2.0 * (s12 * hb1 * hb2 - s13 * hb1 - s23 * hb2)
+        ) + sb2
+        a12 = (
+            s11 * hb1 * hr1 + s22 * hb2 * hr2
+            + s12 * (hb1 * hr2 + hb2 * hr1)
+            - s13 * hr1 - s23 * hr2
+        )
+        a22 = (s11 * hr1 * hr1 + s22 * hr2 * hr2 + 2.0 * s12 * hr1 * hr2) + sr2
+        det_i = a11 * a22 - a12 * a12
+        inv_det = 1.0 / jnp.where(det_i == 0, 1.0, det_i)
+        m11 = a22 * inv_det
+        m12 = -a12 * inv_det
+        m22 = a11 * inv_det
+
+        # Hl rows: u = R(-qy, qx)/r2, w = R(qx, qy)/r
+        u1 = (ct * (-qy) - st * qx) * ir2
+        u2 = (st * (-qy) + ct * qx) * ir2
+        w1 = (ct * qx - st * qy) * ir
+        w2 = (st * qx + ct * qy) * ir
+        # info_pred = Hl^T inner^-1 Hl
+        pa = m11 * u1 * u1 + 2.0 * m12 * u1 * w1 + m22 * w1 * w1
+        pb = m11 * u1 * u2 + m12 * (u1 * w2 + u2 * w1) + m22 * w1 * w2
+        pd = m11 * u2 * u2 + 2.0 * m12 * u2 * w2 + m22 * w2 * w2
+        return vis, pa, pb, pd
+
+    def ci_planes(a1, b1, d1, a2, b2, d2):
+        """Covariance intersection on information planes
+        (``VirtualMap.cpp:364-377``)."""
+        det1 = a1 * d1 - b1 * b1
+        det2 = a2 * d2 - b2 * b2
+        cc = d1 * a2 + a1 * d2 - 2.0 * b1 * b2
+        dd = det1 + det2 - cc
+        safe = jnp.where(dd == 0, 1.0, dd)
+        w = 0.5 * (2.0 * det2 - cc) / safe
+        w = jnp.where(dd == 0, 0.0, w)
+        w = jnp.where((w < 0) & (dd < 0) | (w > 1) & (dd > 0), 0.0, w)
+        w = jnp.where((w < 0) & (dd > 0) | (w > 1) & (dd < 0), 1.0, w)
+        return (
+            w * a1 + (1 - w) * a2,
+            w * b1 + (1 - w) * b2,
+            w * d1 + (1 - w) * d2,
+        )
 
     def sweep(carry, inputs):
-        info, updated = carry
-        pose, sigma_x, ok = inputs
+        ia, ib, idd, updated = carry
+        pose_k, sigma_k, ok_k = inputs  # (chunk, ...)
+        vis_k, pa_k, pb_k, pd_k = jax.vmap(predict)(pose_k, sigma_k)
+        for i in range(chunk):
+            take = vis_k[i] & ok_k[i]
+            fa, fb, fd = ci_planes(ia, ib, idd, pa_k[i], pb_k[i], pd_k[i])
+            fa = jnp.where(updated, fa, pa_k[i])
+            fb = jnp.where(updated, fb, pb_k[i])
+            fd = jnp.where(updated, fd, pd_k[i])
+            ia = jnp.where(take, fa, ia)
+            ib = jnp.where(take, fb, ib)
+            idd = jnp.where(take, fd, idd)
+            updated = updated | take
+        return (ia, ib, idd, updated), None
 
-        _, _, vis = measure_noiseless(
-            pose[None, :], flat_centers, config, with_min_range=True
-        )
-        hx, hl = se2.bearing_range_jacobians_local(pose[None, :], flat_centers)
-        # cov_pred = Hl^-1 (R + Hx Sigma_x Hx^T) Hl^-T
-        inner = r_noise[None] + jnp.einsum(
-            "nij,jk,nlk->nil", hx, sigma_x, hx
-        )
-        det_hl = hl[:, 0, 0] * hl[:, 1, 1] - hl[:, 0, 1] * hl[:, 1, 0]
-        inv_hl = (
-            jnp.stack(
-                [
-                    jnp.stack([hl[:, 1, 1], -hl[:, 0, 1]], -1),
-                    jnp.stack([-hl[:, 1, 0], hl[:, 0, 0]], -1),
-                ],
-                -2,
-            )
-            / jnp.where(det_hl == 0, 1.0, det_hl)[:, None, None]
-        )
-        cov_pred = jnp.einsum("nij,njk,nlk->nil", inv_hl, inner, inv_hl)
-        det_cp = cov_pred[:, 0, 0] * cov_pred[:, 1, 1] - cov_pred[:, 0, 1] * cov_pred[:, 1, 0]
-        info_pred = (
-            jnp.stack(
-                [
-                    jnp.stack([cov_pred[:, 1, 1], -cov_pred[:, 0, 1]], -1),
-                    jnp.stack([-cov_pred[:, 1, 0], cov_pred[:, 0, 0]], -1),
-                ],
-                -2,
-            )
-            / jnp.where(det_cp == 0, 1.0, det_cp)[:, None, None]
-        )
-
-        fused = jnp.where(
-            updated[:, None, None],
-            _covariance_intersection(info, info_pred),
-            info_pred,
-        )
-        take = (vis & ok)[:, None, None]
-        info = jnp.where(take, fused, info)
-        updated = updated | (vis & ok)
-        return (info, updated), None
-
-    (info, _), _ = jax.lax.scan(
-        sweep, (init_info, init_updated), (poses, cov_local, active)
+    n_cells = r * c
+    init = (
+        jnp.full((n_cells,), 1.0 / s0**2),
+        jnp.zeros((n_cells,)),
+        jnp.full((n_cells,), 1.0 / s0**2),
+        jnp.zeros((n_cells,), bool),
     )
-    return vmap_state._replace(info=info.reshape(r, c, 2, 2))
+    (ia, ib, idd, _), _ = jax.lax.scan(sweep, init, (poses_c, cov_c, active_c))
+    info = jnp.stack(
+        [jnp.stack([ia, ib], -1), jnp.stack([ib, idd], -1)], -2
+    ).reshape(r, c, 2, 2)
+    return vmap_state._replace(info=info)
 
 
 # ---------------------------------------------------------------------------
@@ -272,11 +345,12 @@ def to_cov_array(
     disc = jnp.sqrt(jnp.maximum(((a - d) / 2) ** 2 + b_**2, 0.0))
     lam_max = tr / 2 + disc
     length = jnp.minimum(jnp.sqrt(jnp.maximum(lam_max, 0.0)), config.virtual_map.sigma0)
-    # eigenvector of the larger eigenvalue
+    # eigenvector of the larger eigenvalue: (b, lam-a) and (lam-d, b) are
+    # equivalent; pick the better-conditioned one (larger second component)
     angle = jnp.where(
-        jnp.abs(b_) > 1e-12,
+        a >= d,
+        jnp.arctan2(b_, lam_max - d),
         jnp.arctan2(lam_max - a, b_),
-        jnp.where(a >= d, 0.0, jnp.pi / 2),
     )
     return length, angle
 

@@ -1,0 +1,183 @@
+"""Policy evaluation harness (reference ``scripts/test.py``).
+
+50 seeded test worlds per map size, greedy (DQN) or argmax (A2C) actions,
+per-step metrics with the reference's schema/cutoffs:
+
+* map entropy (``test.py:61-74``),
+* landmark error (``exploration_env.py:170-176``),
+* max localization uncertainty (``exploration_env.py:190-194``),
+* policy compute time per decision,
+* plot cutoffs 400/1200/2400/4500 for map sizes 40/60/80/100 (``test.py:25-32``).
+
+Policies load from our msgpack checkpoints or directly from the reference's
+shipped torch weights (``--torch-weights .../MyModel.pt``).
+
+Usage:
+    python -m drl_graph_exploration_tpu.evaluate --method DQN --model GCN \
+        --map-size 40 --episodes 50 --torch-weights \
+        /root/reference/data/torch_weights/DQN_GCN/MyModel.pt
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import dataclasses
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PLOT_MAX_STEP = {40: 400, 60: 1200, 80: 2400, 100: 4500}
+
+
+def build_model(method: str, model_name: str):
+    from .models import gnn
+
+    if method == "DQN":
+        return gnn.GCN() if model_name == "GCN" else gnn.GGNN()
+    return gnn.PolicyGCN() if model_name == "GCN" else gnn.PolicyGGNN()
+
+
+def load_params(args, model, config):
+    from flax import serialization
+
+    from .models import import_torch as it
+    from .models import gnn
+
+    if args.torch_weights:
+        sd = it.load_state_dict(args.torch_weights)
+        if "conv1.weight" in sd:
+            return it.gcn_params_from_torch(sd)
+        return it.ggnn_params_from_torch(sd)
+    n = config.capacity.max_nodes
+    dummy_f = jnp.zeros((n, 5))
+    dummy_a = jnp.zeros((n, n))
+    dummy_v = jnp.ones((n,), bool)
+    if isinstance(model, (gnn.PolicyGCN, gnn.PolicyGGNN)):
+        params = model.init(
+            jax.random.PRNGKey(0), dummy_f, dummy_a, dummy_v, dummy_v
+        )
+    else:
+        params = model.init(jax.random.PRNGKey(0), dummy_f, dummy_a, dummy_v)
+    with open(args.checkpoint, "rb") as f:
+        return serialization.from_bytes(params, f.read())
+
+
+def run_episode(env_index, args, config, model, params, method):
+    from .env import exploration_env as ee
+    from .rl.dqn import frontier_slot_mask
+
+    state = jax.jit(lambda k: ee.reset(k, config))(jax.random.PRNGKey(env_index))
+    obs_fn = jax.jit(lambda s: ee.observe(s, config))
+    acts_fn = jax.jit(lambda s, f: ee.actions_all_goals(s, f, config))
+    step_fn = jax.jit(lambda s, o: ee.env_step(s, o, config))
+    n = config.capacity.max_nodes
+
+    if method == "DQN":
+        fwd = jax.jit(lambda p, f, a, v: model.apply(p, f, a, v))
+    else:
+        fwd = jax.jit(lambda p, f, a, v, m: model.apply(p, f, a, v, m))
+
+    rows = []
+    step_t = 0
+    max_step = PLOT_MAX_STEP.get(int(args.map_size), 400)
+    while step_t < max_step:
+        obs, frontiers = obs_fn(state)
+        fs = int(obs.fro_size)
+        if fs == 0 or bool(ee.is_done(state, config)):
+            break
+        mask = frontier_slot_mask(obs.key_size, obs.fro_size, n)
+        t0 = time.perf_counter()
+        if method == "DQN":
+            q = fwd(params, obs.features, obs.adjacency, obs.node_valid)
+            q = jnp.where(mask, q, -jnp.inf)
+            action_node = int(jnp.argmax(q))
+        else:
+            p = fwd(params, obs.features, obs.adjacency, obs.node_valid, mask)
+            action_node = int(jnp.argmax(p))
+        policy_time = time.perf_counter() - t0
+
+        goal = action_node - int(obs.key_size)
+        acts = acts_fn(state, frontiers)
+        n_act = int(acts.n_actions[goal])
+        odoms = np.asarray(acts.odoms[goal])
+        done = False
+        for i in range(n_act):
+            state = step_fn(state, jnp.asarray(odoms[i]))
+            step_t += 1
+            done = bool(ee.is_done(state, config))
+            entro = float(
+                ee.map_entropy(state.vmap.prob, int(args.map_size))
+            )
+            lerr = float(ee.landmark_error(state, config))
+            mu = float(ee.max_uncertainty_of_trajectory(state, config))
+            rows.append(
+                {
+                    "Step": step_t,
+                    "Category": f"{args.method}+{args.model}",
+                    "Map entropy": entro,
+                    "Landmarks error": lerr,
+                    "Max localization uncertainty": mu,
+                    "Computation time": policy_time,
+                    "Map size": args.map_size,
+                }
+            )
+            if done or step_t >= max_step:
+                break
+        if done:
+            # pad remaining steps with the final metrics (test.py:146-151)
+            last = rows[-1] if rows else None
+            while last and step_t < max_step:
+                step_t += 1
+                rows.append({**last, "Step": step_t})
+            break
+    return rows
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--method", choices=["DQN", "A2C"], default="DQN")
+    ap.add_argument("--model", choices=["GCN", "GG-NN"], default="GCN")
+    ap.add_argument("--map-size", type=float, default=40.0)
+    ap.add_argument("--episodes", type=int, default=50)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--torch-weights", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--max-poses", type=int, default=512)
+    args = ap.parse_args(argv)
+
+    from .config import CapacityConfig, ExplorationConfig
+
+    config = dataclasses.replace(
+        ExplorationConfig().with_map_size(args.map_size),
+        capacity=dataclasses.replace(CapacityConfig(), max_poses=args.max_poses),
+    )
+    model = build_model(args.method, args.model)
+    params = load_params(args, model, config)
+
+    all_rows = []
+    for ep in range(args.episodes):
+        rows = run_episode(ep, args, config, model, params, args.method)
+        all_rows.extend(rows)
+        if rows:
+            print(
+                f"episode {ep}: steps={rows[-1]['Step']} "
+                f"entropy={rows[-1]['Map entropy']:.1f} "
+                f"lerr={rows[-1]['Landmarks error']:.3f}",
+                flush=True,
+            )
+
+    out = args.out or f"{int(args.map_size)}_{args.method}_{args.model}.csv"
+    if all_rows:
+        with open(out, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(all_rows[0].keys()))
+            w.writeheader()
+            w.writerows(all_rows)
+    print(f"wrote {len(all_rows)} rows -> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -10,8 +10,10 @@ jits and vmaps; 32 base-``b`` digits cover indices far beyond any planner run.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_PRIMES = jnp.array([2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37], dtype=jnp.int32)
+# host-side constant: device placement happens at trace time
+_PRIMES = np.array([2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37], dtype=np.int32)
 
 _NUM_DIGITS = 32
 

@@ -15,7 +15,7 @@ Implemented models and their reference counterparts (Networks.py lines):
 
 Faithfulness notes:
 
-* ``GCNConv(improved=True)``: \hat A = D^-1/2 (A + 2I) D^-1/2 with edge
+* ``GCNConv(improved=True)``: ``Ahat = D^-1/2 (A + 2I) D^-1/2`` with edge
   weights; self-loop weight 2.
 * The reference's ``F.dropout`` calls use the *functional* form, which applies
   dropout regardless of ``model.eval()`` — i.e. A2C nets always carry p=0.5
@@ -56,15 +56,18 @@ def dropout(x: jax.Array, p: jax.Array, key: jax.Array | None) -> jax.Array:
 
 
 class GCNConv(nn.Module):
-    """Dense masked GCN convolution (PyG ``GCNConv(improved=True)``)."""
+    """Dense masked GCN convolution (PyG 1.x ``GCNConv(improved=True)``):
+    ``out = Ahat (x W) + b`` — bias added *after* aggregation, matching the
+    reference checkpoints' parameterisation."""
 
     features: int
 
     @nn.compact
     def __call__(self, x, adj_norm, node_valid):
-        x = nn.Dense(self.features, name="lin")(x)
+        x = nn.Dense(self.features, use_bias=False, name="lin")(x)
         x = jnp.einsum("...ij,...jf->...if", adj_norm, x)
-        return x * node_valid[..., None]
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return (x + b) * node_valid[..., None]
 
 
 class GCN(nn.Module):
@@ -191,3 +194,156 @@ MODEL_REGISTRY = {
     "PolicyGGNN": PolicyGGNN,
     "ValueGGNN": ValueGGNN,
 }
+
+
+# ---------------------------------------------------------------------------
+# GraphUNet (g-U-Net) — dense masked TopK pooling (reference Networks.py:125-230)
+
+
+class TopKPool(nn.Module):
+    """PyG 1.x ``TopKPooling(ratio)`` in dense masked form: per-graph score
+    ``tanh((x . w)/||w||)``, keep the top ``ceil(ratio * n_valid)`` nodes
+    (static capacity ``k_cap`` with a dynamic-rank mask), scale kept features
+    by their scores."""
+
+    in_features: int
+    k_cap: int
+    ratio: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, adj, node_valid):
+        w = self.param(
+            "weight",
+            nn.initializers.uniform(scale=1.0 / max(self.in_features, 1) ** 0.5),
+            (self.in_features,),
+        )
+        score = jnp.einsum("...nf,f->...n", x, w) / jnp.maximum(
+            jnp.linalg.norm(w), 1e-12
+        )
+        score = jnp.tanh(score)
+        neg = jnp.where(node_valid, score, -jnp.inf)
+        top_scores, perm = jax.lax.top_k(neg, self.k_cap)  # (..., k_cap)
+        n_valid = jnp.sum(node_valid, axis=-1)
+        k_dyn = jnp.ceil(self.ratio * n_valid).astype(jnp.int32)
+        new_valid = jnp.arange(self.k_cap) < k_dyn[..., None]
+
+        xg = jnp.take_along_axis(x, perm[..., None], axis=-2)
+        xg = xg * jnp.where(new_valid, top_scores, 0.0)[..., None]
+        a1 = jnp.take_along_axis(adj, perm[..., None], axis=-2)
+        a2 = jnp.take_along_axis(a1, perm[..., None, :], axis=-1)
+        v = new_valid.astype(adj.dtype)
+        a2 = a2 * v[..., :, None] * v[..., None, :]
+        return xg, a2, new_valid, perm
+
+
+def augment_adj(adj, node_valid):
+    """2-hop densification (reference ``augment_adj``): add unit self-loops,
+    square the weighted adjacency, drop the diagonal."""
+    v = node_valid.astype(adj.dtype)
+    eye = jnp.eye(adj.shape[-1], dtype=adj.dtype)
+    b = adj + eye * v[..., :, None]
+    b2 = jnp.einsum("...ij,...jk->...ik", b, b)
+    return b2 * (1.0 - eye)
+
+
+class _GraphUNetCore(nn.Module):
+    """Shared down/up U-Net body; returns per-node features."""
+
+    n_nodes: int  # static node capacity of the input graph
+    hidden: int = HIDDEN
+    out_channels: int = HIDDEN
+    depth: int = 3
+    ratio: float = 0.5
+
+    @nn.compact
+    def __call__(self, features, adj, node_valid):
+        a = normalize_adjacency(adj, node_valid)
+        x = nn.relu(
+            GCNConv(self.hidden, name="down_conv_0")(features, a, node_valid)
+        )
+        xs, valids, adjs, perms = [x], [node_valid], [adj], []
+        k = self.n_nodes
+        cur_adj, cur_valid = adj, node_valid
+        for i in range(1, self.depth + 1):
+            aug = augment_adj(cur_adj, cur_valid)
+            k = max(1, -(-k // 2))
+            x, cur_adj, cur_valid, perm = TopKPool(
+                self.hidden, k, self.ratio, name=f"pool_{i - 1}"
+            )(x, aug, cur_valid)
+            an = normalize_adjacency(cur_adj, cur_valid)
+            feats = self.hidden if i < self.depth else self.hidden
+            x = nn.relu(
+                GCNConv(self.hidden, name=f"down_conv_{i}")(x, an, cur_valid)
+            )
+            if i < self.depth:
+                xs.append(x)
+                valids.append(cur_valid)
+                adjs.append(cur_adj)
+            perms.append(perm)
+
+        for i in range(self.depth):
+            j = self.depth - 1 - i
+            res, res_valid, res_adj = xs[j], valids[j], adjs[j]
+            perm = perms[j]
+            # unpool via one-hot scatter (dense, batch-dim agnostic)
+            scatter = jax.nn.one_hot(perm, res.shape[-2], dtype=x.dtype)
+            up = jnp.einsum("...kn,...kf->...nf", scatter, x)
+            x = res + up
+            an = normalize_adjacency(res_adj, res_valid)
+            out_f = self.hidden if i < self.depth - 1 else self.out_channels
+            x = GCNConv(out_f, name=f"up_conv_{i}")(x, an, res_valid)
+            if i < self.depth - 1:
+                x = nn.relu(x)
+        return x
+
+
+class GraphUNet(nn.Module):
+    """DQN head (per-node Q)."""
+
+    n_nodes: int = 128
+
+    @nn.compact
+    def __call__(self, features, adj, node_valid, *, dropout_p=0.0, dropout_key=None):
+        x = _GraphUNetCore(self.n_nodes, name="core")(features, adj, node_valid)
+        x = nn.relu(x)
+        x = dropout(x, dropout_p, dropout_key)
+        return nn.Dense(1, name="fully_con1")(x)[..., 0]
+
+
+class PolicyGraphUNet(nn.Module):
+    n_nodes: int = 128
+
+    @nn.compact
+    def __call__(self, features, adj, node_valid, action_mask, *, dropout_key=None):
+        x = _GraphUNetCore(self.n_nodes, name="core")(features, adj, node_valid)
+        x = nn.relu(x)
+        x = dropout(x, jnp.float32(0.5), dropout_key)
+        logits = nn.Dense(1, name="fully_con1")(x)[..., 0]
+        logits = jnp.where(action_mask, logits, -jnp.inf)
+        return jax.nn.softmax(logits, axis=-1)
+
+
+class ValueGraphUNet(nn.Module):
+    n_nodes: int = 128
+
+    @nn.compact
+    def __call__(self, features, adj, node_valid, *, dropout_key=None):
+        x = _GraphUNetCore(self.n_nodes, name="core")(features, adj, node_valid)
+        x = nn.relu(x)
+        x = dropout(x, jnp.float32(0.5), dropout_key)
+        x = nn.Dense(100, name="fully_con1")(x)
+        v = node_valid.astype(x.dtype)
+        pooled = jnp.sum(x * v[..., None], axis=-2) / jnp.maximum(
+            jnp.sum(v, axis=-1, keepdims=True), 1.0
+        )
+        return jnp.mean(pooled, axis=-1)
+
+
+MODEL_REGISTRY.update(
+    {
+        "g-U-Net": GraphUNet,
+        "GraphUNet": GraphUNet,
+        "PolicyGraphUNet": PolicyGraphUNet,
+        "ValueGraphUNet": ValueGraphUNet,
+    }
+)

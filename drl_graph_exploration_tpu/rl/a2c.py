@@ -1,0 +1,319 @@
+"""A2C trainer (reference ``A2C``, ``/root/reference/scripts/policy.py:262-504``),
+batched TPU-native.
+
+n-step (40) advantage actor-critic with a shared Adam over actor + critic,
+entropy coefficient 0.01 and value coefficient 0.25.  Batched form: every
+decision stores one (B,)-slice into a rolling ``(nstep, B, ...)`` buffer; when
+full, returns are discounted per env along time with the value bootstrap
+(``policy.py:370-376``) and one joint gradient step runs over all
+``nstep * B`` samples.
+
+Faithfulness notes:
+
+* actions are *sampled* from the masked frontier softmax (``policy.py:326-330``);
+* actor/critic dropout (p=0.5) is always on — the reference uses functional
+  ``F.dropout`` which ignores ``model.eval()``;
+* the reference's entropy term is computed from **detached** probabilities
+  (``policy.py:468-472``), so it contributes no gradient — replicated with
+  ``stop_gradient`` (the coefficient is effectively inert, as trained).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ExplorationConfig
+from ..env import exploration_env as ee
+from ..env import virtual_map as vm
+from ..env.exploration_env import EnvState
+from . import replay as rp
+from .dqn import frontier_slot_mask
+from .replay import SparseGraph
+
+
+@dataclass(frozen=True)
+class A2CConfig:
+    """Hyperparameters from ``policy.py:278-295``."""
+
+    gamma: float = 0.99
+    nstep: int = 40
+    ent_coef: float = 0.01
+    vf_coef: float = 0.25
+    max_grad_norm: float = 0.5
+    lr: float = 1e-5
+    n_envs: int = 16
+    edge_cap: int = 4096
+    world_size: int = 1
+
+
+class A2CBuffer(NamedTuple):
+    s: SparseGraph  # (nstep, B, ...)
+    action_node: jax.Array  # (nstep, B)
+    reward: jax.Array  # (nstep, B)
+    done: jax.Array  # (nstep, B)
+    value: jax.Array  # (nstep, B)
+
+
+class A2CState(NamedTuple):
+    actor_params: Any
+    critic_params: Any
+    opt_state: Any
+    envs: EnvState
+    buffer: A2CBuffer
+    buf_idx: jax.Array  # () int32
+    step_t: jax.Array
+    rng: jax.Array
+
+
+def make_optimizer(rl: A2CConfig) -> optax.GradientTransformation:
+    return optax.chain(optax.clip(rl.max_grad_norm), optax.adam(rl.lr))
+
+
+def _empty_buffer(rl: A2CConfig, n_nodes: int) -> A2CBuffer:
+    t, b, e = rl.nstep, rl.n_envs, rl.edge_cap
+    g = SparseGraph(
+        features=jnp.zeros((t, b, n_nodes, 5), jnp.float16),
+        edge_idx=jnp.zeros((t, b, e, 2), jnp.int32),
+        edge_w=jnp.zeros((t, b, e), jnp.float16),
+        key_size=jnp.zeros((t, b), jnp.int32),
+        fro_size=jnp.zeros((t, b), jnp.int32),
+    )
+    return A2CBuffer(
+        s=g,
+        action_node=jnp.zeros((t, b), jnp.int32),
+        reward=jnp.zeros((t, b)),
+        done=jnp.zeros((t, b), bool),
+        value=jnp.zeros((t, b)),
+    )
+
+
+def init_a2c(
+    key: jax.Array, actor, critic, config: ExplorationConfig, rl: A2CConfig
+) -> A2CState:
+    n = config.capacity.max_nodes
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    dummy_f = jnp.zeros((n, 5))
+    dummy_a = jnp.zeros((n, n))
+    dummy_v = jnp.ones((n,), bool)
+    dummy_m = jnp.zeros((n,), bool).at[0].set(True)
+    actor_params = actor.init(k1, dummy_f, dummy_a, dummy_v, dummy_m)
+    critic_params = critic.init(k2, dummy_f, dummy_a, dummy_v)
+    opt_state = make_optimizer(rl).init((actor_params, critic_params))
+    envs = jax.vmap(lambda k: ee.reset(k, config))(jax.random.split(k3, rl.n_envs))
+    return A2CState(
+        actor_params=actor_params,
+        critic_params=critic_params,
+        opt_state=opt_state,
+        envs=envs,
+        buffer=_empty_buffer(rl, n),
+        buf_idx=jnp.int32(0),
+        step_t=jnp.int32(0),
+        rng=k4,
+    )
+
+
+def a2c_losses(
+    params, actor, critic, buf: A2CBuffer, returns, n: int, rl: A2CConfig, key
+):
+    """Joint loss (``policy.py:452-497``): policy + vf_coef*value -
+    ent_coef*entropy (entropy detached — see module docstring)."""
+    actor_params, critic_params = params
+    t, b = buf.reward.shape
+    flat = jax.tree.map(lambda x: x.reshape(t * b, *x.shape[2:]), buf.s)
+    feats, adj, valid = jax.vmap(lambda g: rp.densify(g, n))(flat)
+    mask = jax.vmap(lambda g: frontier_slot_mask(g.key_size, g.fro_size, n))(flat)
+    ka, kc = jax.random.split(key)
+
+    probs = actor.apply(
+        actor_params, feats, adj, valid, mask, dropout_key=ka
+    )  # (t*b, N)
+    values = critic.apply(critic_params, feats, adj, valid, dropout_key=kc)  # (t*b,)
+
+    eps = 1e-35
+    probs = probs + eps
+    action = buf.action_node.reshape(-1)
+    logp_sel = jnp.log(jnp.take_along_axis(probs, action[:, None], axis=-1)[:, 0])
+    adv = (returns - buf.value).reshape(-1)  # detached advantage
+    policy_loss = jnp.sum(-logp_sel * adv) / rl.nstep
+
+    value_loss = jnp.mean((values - returns.reshape(-1)) ** 2)
+
+    p_det = jax.lax.stop_gradient(probs)
+    entropy = -jnp.sum(jnp.where(mask, p_det * jnp.log(p_det), 0.0)) / rl.nstep
+
+    loss = policy_loss - entropy * rl.ent_coef + value_loss * rl.vf_coef
+    return loss, (policy_loss, value_loss, entropy)
+
+
+def decision_step_impl(
+    state: A2CState,
+    actor,
+    critic,
+    config: ExplorationConfig,
+    rl: A2CConfig,
+    axis_name: str | None = None,
+):
+    n = config.capacity.max_nodes
+    b = rl.n_envs
+    rng = state.rng
+    if axis_name is not None:
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+    rng, k_actor, k_critic, k_choice, k_loss, k_reset, k_boot = jax.random.split(rng, 7)
+
+    # observe + rewards ------------------------------------------------------
+    obs, frontiers, s_sparse = jax.vmap(
+        lambda e: _observe_sparse(e, config, rl.edge_cap)
+    )(state.envs)
+    acts = jax.vmap(lambda e, f: ee.actions_all_goals(e, f, config))(
+        state.envs, frontiers
+    )
+    norm_r, _raw, envs = jax.vmap(
+        lambda e, f, a: ee.rewards_all_goals(e, f, a, config)
+    )(state.envs, frontiers, acts)
+
+    # act --------------------------------------------------------------------
+    fmask = jax.vmap(lambda ks, fs: frontier_slot_mask(ks, fs, n))(
+        obs.key_size, obs.fro_size
+    )
+    probs = actor.apply(
+        state.actor_params, obs.features, obs.adjacency, obs.node_valid, fmask,
+        dropout_key=k_actor,
+    )
+    vals = critic.apply(
+        state.critic_params, obs.features, obs.adjacency, obs.node_valid,
+        dropout_key=k_critic,
+    )
+    # categorical sample over nodes (off-mask probs are exactly 0)
+    logits = jnp.log(probs + 1e-35)
+    action_node = jax.random.categorical(k_choice, logits, axis=-1).astype(jnp.int32)
+    goal_idx = jnp.clip(action_node - obs.key_size, 0, norm_r.shape[-1] - 1)
+    r_t = jnp.take_along_axis(norm_r, goal_idx[:, None], axis=-1)[:, 0]
+    no_frontier = obs.fro_size == 0
+
+    # execute ----------------------------------------------------------------
+    chosen = jax.vmap(lambda a, g: jax.tree.map(lambda x: x[g], a))(acts, goal_idx)
+
+    def run_env(env, odoms, valid):
+        def body(e, inp):
+            od, v = inp
+            return jax.lax.cond(v, lambda e: ee.env_step(e, od, config), lambda e: e, e), None
+
+        env, _ = jax.lax.scan(body, env, (odoms, valid))
+        return env
+
+    envs = jax.vmap(run_env)(envs, chosen.odoms, chosen.valid)
+    done = jax.vmap(lambda e: ee.is_done(e, config))(envs) | no_frontier
+    current_done = done | envs.loop_clo
+
+    # store ------------------------------------------------------------------
+    idx = state.buf_idx
+    buf = A2CBuffer(
+        s=jax.tree.map(
+            lambda bb, new: bb.at[idx].set(new), state.buffer.s, s_sparse
+        ),
+        action_node=state.buffer.action_node.at[idx].set(action_node),
+        reward=state.buffer.reward.at[idx].set(r_t),
+        done=state.buffer.done.at[idx].set(current_done),
+        value=state.buffer.value.at[idx].set(vals),
+    )
+
+    # learn when the n-step buffer is full ----------------------------------
+    def do_train(args):
+        actor_params, critic_params, opt_state = args
+        # bootstrap from the value of the *next* observation
+        _o1, _f1, s1_sparse = jax.vmap(
+            lambda e: _observe_sparse(e, config, rl.edge_cap)
+        )(envs)
+        f1, a1, v1 = jax.vmap(lambda g: rp.densify(g, n))(s1_sparse)
+        last_value = critic.apply(critic_params, f1, a1, v1, dropout_key=k_boot)
+
+        def disc(carry, inp):
+            ret = carry
+            r, d = inp
+            ret = r + rl.gamma * ret * (1.0 - d.astype(r.dtype))
+            return ret, ret
+
+        _, returns = jax.lax.scan(
+            disc, last_value, (buf.reward, buf.done), reverse=True
+        )  # (nstep, B)
+
+        (loss, _aux), grads = jax.value_and_grad(a2c_losses, has_aux=True)(
+            (actor_params, critic_params), actor, critic, buf, returns, n, rl, k_loss
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        updates, opt_state = make_optimizer(rl).update(
+            grads, opt_state, (actor_params, critic_params)
+        )
+        (actor_params, critic_params) = optax.apply_updates(
+            (actor_params, critic_params), updates
+        )
+        return actor_params, critic_params, opt_state, loss
+
+    def no_train(args):
+        a, c, o = args
+        return a, c, o, jnp.float32(0.0)
+
+    full = idx + 1 >= rl.nstep
+    actor_params, critic_params, opt_state, loss = jax.lax.cond(
+        full,
+        do_train,
+        no_train,
+        (state.actor_params, state.critic_params, state.opt_state),
+    )
+    buf_idx = jnp.where(full, 0, idx + 1)
+
+    # reset finished worlds --------------------------------------------------
+    reset_keys = jax.random.split(k_reset, b)
+
+    def maybe_reset(d, k, e):
+        fresh = ee.reset(k, config)
+        return jax.tree.map(
+            lambda a, bb: jnp.where(jnp.reshape(d, (1,) * a.ndim), a, bb), fresh, e
+        )
+
+    envs = jax.vmap(maybe_reset)(done, reset_keys, envs)
+
+    metrics = {
+        "reward": jnp.mean(r_t),
+        "loss": loss,
+        "value": jnp.mean(vals),
+        "done_frac": jnp.mean(done.astype(jnp.float32)),
+        "explored": jnp.mean(jax.vmap(lambda e: vm.explored(e.vmap, config))(envs)),
+    }
+    if axis_name is not None:
+        metrics = {k: jax.lax.pmean(v, axis_name) for k, v in metrics.items()}
+
+    return (
+        A2CState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            opt_state=opt_state,
+            envs=envs,
+            buffer=buf,
+            buf_idx=buf_idx,
+            step_t=state.step_t + b * rl.world_size,
+            rng=rng,
+        ),
+        metrics,
+    )
+
+
+def _observe_sparse(env: EnvState, config: ExplorationConfig, e_cap: int):
+    obs, frontiers = ee.observe(env, config)
+    g = rp.sparsify(obs.adjacency, obs.features, obs.key_size, obs.fro_size, e_cap)
+    return obs, frontiers, g
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def decision_step(
+    state: A2CState, actor, critic, config: ExplorationConfig, rl: A2CConfig
+):
+    return decision_step_impl(state, actor, critic, config, rl, axis_name=None)

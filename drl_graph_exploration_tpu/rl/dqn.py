@@ -1,0 +1,290 @@
+"""DQN trainer (reference ``DeepQ``, ``/root/reference/scripts/policy.py:16-259``),
+batched TPU-native.
+
+The reference runs ONE env and interleaves a gradient step per decision.  Here
+``n_envs`` worlds advance in lockstep inside a single jitted decision step:
+
+1. graph observations for all worlds,
+2. macro-actions + per-goal reward rollouts (the expensive pass — vmapped),
+3. "bayesian" action selection: dropout-at-inference with p = epsilon
+   (``policy.py:104-110``), argmax over frontier slots,
+4. macro-action execution via a masked ``lax.scan`` (the reference executes
+   every primitive action of the chosen macro even past ``done`` —
+   ``policy.py:119-120`` has no break — replicated),
+5. replay append + (after ``observe`` steps) a minibatch Q-learning update
+   with target network, elementwise grad clamp 0.5 and Adam 1e-5,
+6. masked reset of finished worlds.
+
+``step_t`` counts single-env decisions, advancing by ``n_envs`` per batched
+step so the epsilon/target-update schedules match the reference's units.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ExplorationConfig
+from ..env import exploration_env as ee
+from ..env import virtual_map as vm
+from ..env.exploration_env import EnvState
+from . import replay as rp
+from .replay import ReplayState, SparseGraph, Transition
+
+
+@dataclass(frozen=True)
+class RLConfig:
+    """Hyperparameters from ``policy.py:32-58`` plus batching knobs."""
+
+    batch: int = 64
+    replay_memory: int = 10000
+    gamma: float = 0.99
+    observe: int = 5000
+    explore: float = 1e6
+    epoch: int = 10000
+    target_update: int = 15000  # 9000 for non-GCN models
+    final_epsilon: float = 0.0
+    initial_epsilon: float = 0.9
+    max_grad_norm: float = 0.5
+    lr: float = 1e-5
+    n_envs: int = 16  # per-device env count
+    edge_cap: int = 4096
+    updates_per_step: int = 1
+    world_size: int = 1  # devices in the data-parallel mesh
+
+
+class DQNState(NamedTuple):
+    params: Any
+    target_params: Any
+    opt_state: Any
+    replay: ReplayState
+    envs: EnvState  # stacked over n_envs
+    step_t: jax.Array  # () int32 — single-env decision count
+    rng: jax.Array
+
+
+def make_optimizer(rl: RLConfig) -> optax.GradientTransformation:
+    return optax.chain(optax.clip(rl.max_grad_norm), optax.adam(rl.lr))
+
+
+def init_dqn(
+    key: jax.Array, model, config: ExplorationConfig, rl: RLConfig
+) -> DQNState:
+    cap = config.capacity
+    n = cap.max_nodes
+    k1, k2, k3 = jax.random.split(key, 3)
+    dummy_f = jnp.zeros((n, 5))
+    dummy_a = jnp.zeros((n, n))
+    dummy_v = jnp.ones((n,), bool)
+    params = model.init(k1, dummy_f, dummy_a, dummy_v)
+    opt_state = make_optimizer(rl).init(params)
+    envs = jax.vmap(lambda k: ee.reset(k, config))(jax.random.split(k2, rl.n_envs))
+    return DQNState(
+        params=params,
+        target_params=params,
+        opt_state=opt_state,
+        replay=rp.init_replay(rl.replay_memory, n, rl.edge_cap),
+        envs=envs,
+        step_t=jnp.int32(0),
+        rng=k3,
+    )
+
+
+def epsilon_at(step_t: jax.Array, rl: RLConfig) -> jax.Array:
+    """Linear decay from ``initial`` to ``final`` over ``explore`` steps after
+    ``observe`` (``policy.py:78-79``)."""
+    t = jnp.maximum(step_t - rl.observe, 0).astype(jnp.float32)
+    eps = rl.initial_epsilon - (rl.initial_epsilon - rl.final_epsilon) * jnp.minimum(
+        t / rl.explore, 1.0
+    )
+    return jnp.clip(eps, rl.final_epsilon, rl.initial_epsilon)
+
+
+def frontier_slot_mask(key_size, fro_size, n: int) -> jax.Array:
+    ids = jnp.arange(n)
+    return (ids >= key_size) & (ids < key_size + fro_size)
+
+
+def _observe_sparse(env: EnvState, config: ExplorationConfig, e_cap: int):
+    obs, frontiers = ee.observe(env, config)
+    g = rp.sparsify(obs.adjacency, obs.features, obs.key_size, obs.fro_size, e_cap)
+    return obs, frontiers, g
+
+
+def q_targets(
+    target_params, model, s1: SparseGraph, rewards, dones, rl: RLConfig, n: int
+):
+    """y = r + gamma * max_{frontier slots of s1} Q_target(s1)  (``policy.py:160-178``)."""
+    feats, adj, valid = jax.vmap(lambda g: rp.densify(g, n))(s1)
+    q1 = model.apply(target_params, feats, adj, valid)  # (B, N)
+    mask = jax.vmap(lambda g: frontier_slot_mask(g.key_size, g.fro_size, n))(s1)
+    has_frontier = mask.any(axis=-1)
+    max_q = jnp.max(jnp.where(mask, q1, -jnp.inf), axis=-1)
+    max_q = jnp.where(has_frontier, max_q, 0.0)
+    return jnp.where(dones, rewards, rewards + rl.gamma * max_q)
+
+
+def dqn_loss(params, model, batch: Transition, y, rl: RLConfig, n: int, key):
+    feats, adj, valid = jax.vmap(lambda g: rp.densify(g, n))(batch.s)
+    q = model.apply(
+        params, feats, adj, valid, dropout_p=jnp.float32(0.5), dropout_key=key
+    )  # (B, N)
+    q_sel = jnp.take_along_axis(q, batch.action_node[:, None], axis=-1)[:, 0]
+    return jnp.sum((q_sel - y) ** 2) / rl.batch
+
+
+def decision_step_impl(
+    state: DQNState,
+    model,
+    config: ExplorationConfig,
+    rl: RLConfig,
+    axis_name: str | None = None,
+) -> tuple[DQNState, dict[str, jax.Array]]:
+    """One batched decision step.  With ``axis_name`` set (inside
+    ``shard_map`` over a device mesh) gradients and metrics are averaged
+    across the mesh — the learner is data-parallel while envs and replay
+    shards stay device-local."""
+    cap = config.capacity
+    n = cap.max_nodes
+    b = rl.n_envs
+    rng = state.rng
+    if axis_name is not None:
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+    rng, k_drop, k_sample, k_loss, k_reset = jax.random.split(rng, 5)
+
+    # 1. observe all worlds -------------------------------------------------
+    obs, frontiers, s_sparse = jax.vmap(
+        lambda e: _observe_sparse(e, config, rl.edge_cap)
+    )(state.envs)
+
+    # 2. macro-actions + rewards -------------------------------------------
+    acts = jax.vmap(lambda e, f: ee.actions_all_goals(e, f, config))(
+        state.envs, frontiers
+    )
+    norm_r, _raw, envs = jax.vmap(
+        lambda e, f, a: ee.rewards_all_goals(e, f, a, config)
+    )(state.envs, frontiers, acts)
+
+    # 3. action selection ---------------------------------------------------
+    eps = epsilon_at(state.step_t, rl)
+    readout = model.apply(
+        state.params,
+        obs.features,
+        obs.adjacency,
+        obs.node_valid,
+        dropout_p=eps,
+        dropout_key=k_drop,
+    )  # (B, N)
+    fmask = jax.vmap(lambda ks, fs: frontier_slot_mask(ks, fs, n))(
+        obs.key_size, obs.fro_size
+    )
+    masked_q = jnp.where(fmask, readout, -jnp.inf)
+    action_node = jnp.argmax(masked_q, axis=-1).astype(jnp.int32)
+    goal_idx = action_node - obs.key_size  # frontier slot
+    goal_idx = jnp.clip(goal_idx, 0, norm_r.shape[-1] - 1)
+    r_t = jnp.take_along_axis(norm_r, goal_idx[:, None], axis=-1)[:, 0]
+    no_frontier = obs.fro_size == 0
+
+    # 4. execute the chosen macro-action ------------------------------------
+    chosen = jax.vmap(lambda a, g: jax.tree.map(lambda x: x[g], a))(acts, goal_idx)
+
+    def run_env(env, odoms, valid):
+        def body(e, inp):
+            od, v = inp
+            e = jax.lax.cond(v, lambda e: ee.env_step(e, od, config), lambda e: e, e)
+            return e, None
+
+        env, _ = jax.lax.scan(body, env, (odoms, valid))
+        return env
+
+    envs = jax.vmap(run_env)(envs, chosen.odoms, chosen.valid)
+    done = jax.vmap(lambda e: ee.is_done(e, config))(envs) | no_frontier
+    current_done = done | envs.loop_clo
+
+    # 5. next observation + replay append ----------------------------------
+    _obs1, _f1, s1_sparse = jax.vmap(
+        lambda e: _observe_sparse(e, config, rl.edge_cap)
+    )(envs)
+    trans = Transition(
+        s=s_sparse, action_node=action_node, reward=r_t, s1=s1_sparse, done=current_done
+    )
+    new_replay = rp.push_batch(state.replay, trans, b)
+
+    # 6. learning update ----------------------------------------------------
+    step_t1 = state.step_t + b * rl.world_size
+
+    def do_update(args):
+        params, opt_state = args
+        batch = rp.sample(new_replay, k_sample, rl.batch)
+        y = q_targets(state.target_params, model, batch.s1, batch.reward, batch.done, rl, n)
+        loss, grads = jax.value_and_grad(dqn_loss)(
+            params, model, batch, y, rl, n, k_loss
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        updates, opt_state = make_optimizer(rl).update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def no_update(args):
+        params, opt_state = args
+        return params, opt_state, jnp.float32(0.0)
+
+    params, opt_state, loss = jax.lax.cond(
+        step_t1 > rl.observe, do_update, no_update, (state.params, state.opt_state)
+    )
+
+    # target-network refresh when crossing a multiple of target_update
+    crossed = (step_t1 // rl.target_update) > (state.step_t // rl.target_update)
+    target_params = jax.tree.map(
+        lambda t, p: jnp.where(crossed, p, t), state.target_params, params
+    )
+
+    # 7. reset finished worlds ----------------------------------------------
+    reset_keys = jax.random.split(k_reset, b)
+
+    def maybe_reset(d, k, e):
+        fresh = ee.reset(k, config)
+        return jax.tree.map(
+            lambda a, bb: jnp.where(jnp.reshape(d, (1,) * a.ndim), a, bb), fresh, e
+        )
+
+    envs = jax.vmap(maybe_reset)(done, reset_keys, envs)
+
+    metrics = {
+        "reward": jnp.mean(r_t),
+        "loss": loss,
+        "epsilon": eps,
+        "q_max": jnp.max(jnp.where(fmask, readout, -jnp.inf)),
+        "done_frac": jnp.mean(done.astype(jnp.float32)),
+        "explored": jnp.mean(
+            jax.vmap(lambda e: vm.explored(e.vmap, config))(envs)
+        ),
+    }
+    if axis_name is not None:
+        metrics = {k: jax.lax.pmean(v, axis_name) for k, v in metrics.items()}
+    return (
+        DQNState(
+            params=params,
+            target_params=target_params,
+            opt_state=opt_state,
+            replay=new_replay,
+            envs=envs,
+            step_t=step_t1,
+            rng=rng,
+        ),
+        metrics,
+    )
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def decision_step(
+    state: DQNState, model, config: ExplorationConfig, rl: RLConfig
+) -> tuple[DQNState, dict[str, jax.Array]]:
+    return decision_step_impl(state, model, config, rl, axis_name=None)

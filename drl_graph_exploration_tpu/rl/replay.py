@@ -1,0 +1,109 @@
+"""On-device replay ring buffer for graph transitions.
+
+The reference keeps a 1e4-entry ``collections.deque`` of PyG ``Data`` objects
+on the host (``/root/reference/scripts/policy.py:53,131-133``).  Here the
+buffer is a fixed-capacity device-resident pytree; graphs are stored with
+**sparsified adjacency** (top-K upper-triangle edges, f16 weights) so 1e4
+transitions fit comfortably in HBM, and are densified on sampling — a gather
+plus scatter, cheap next to the GNN matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SparseGraph(NamedTuple):
+    features: jax.Array  # (N, 5) f16
+    edge_idx: jax.Array  # (E, 2) int32 upper-triangle indices
+    edge_w: jax.Array  # (E,) f16
+    key_size: jax.Array  # () int32
+    fro_size: jax.Array  # () int32
+
+
+class Transition(NamedTuple):
+    s: SparseGraph
+    action_node: jax.Array  # () int32 — chosen node index
+    reward: jax.Array  # () f32
+    s1: SparseGraph
+    done: jax.Array  # () bool
+
+
+class ReplayState(NamedTuple):
+    data: Transition  # stacked (capacity, ...)
+    cursor: jax.Array  # () int32 next write slot
+    size: jax.Array  # () int32 valid entries
+
+
+def sparsify(adjacency: jax.Array, features: jax.Array, key_size, fro_size, e_cap: int) -> SparseGraph:
+    """Top-``e_cap`` upper-triangle edges by weight.  Edges beyond capacity
+    (pathological episodes only) are dropped lightest-first."""
+    n = adjacency.shape[-1]
+    iu = jnp.triu_indices(n, k=1)
+    vals = adjacency[..., iu[0], iu[1]]
+    top, pos = jax.lax.top_k(vals, e_cap)
+    idx = jnp.stack([iu[0][pos], iu[1][pos]], axis=-1).astype(jnp.int32)
+    return SparseGraph(
+        features=features.astype(jnp.float16),
+        edge_idx=idx,
+        edge_w=top.astype(jnp.float16),
+        key_size=jnp.asarray(key_size, jnp.int32),
+        fro_size=jnp.asarray(fro_size, jnp.int32),
+    )
+
+
+def densify(g: SparseGraph, n: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """-> (features (N,5) f32, adjacency (N,N) f32, node_valid (N,))."""
+    w = g.edge_w.astype(jnp.float32)
+    adj = jnp.zeros((n, n))
+    adj = adj.at[g.edge_idx[:, 0], g.edge_idx[:, 1]].max(w)
+    adj = adj.at[g.edge_idx[:, 1], g.edge_idx[:, 0]].max(w)
+    node_valid = jnp.arange(n) < (g.key_size + g.fro_size)
+    return g.features.astype(jnp.float32), adj, node_valid
+
+
+def init_replay(capacity: int, n_nodes: int, e_cap: int) -> ReplayState:
+    def zg():
+        return SparseGraph(
+            features=jnp.zeros((capacity, n_nodes, 5), jnp.float16),
+            edge_idx=jnp.zeros((capacity, e_cap, 2), jnp.int32),
+            edge_w=jnp.zeros((capacity, e_cap), jnp.float16),
+            key_size=jnp.zeros((capacity,), jnp.int32),
+            fro_size=jnp.zeros((capacity,), jnp.int32),
+        )
+
+    data = Transition(
+        s=zg(),
+        action_node=jnp.zeros((capacity,), jnp.int32),
+        reward=jnp.zeros((capacity,)),
+        s1=zg(),
+        done=jnp.zeros((capacity,), bool),
+    )
+    return ReplayState(data=data, cursor=jnp.int32(0), size=jnp.int32(0))
+
+
+def push_batch(replay: ReplayState, batch: Transition, n_new: int) -> ReplayState:
+    """Append ``n_new`` stacked transitions at the ring cursor."""
+    capacity = replay.data.reward.shape[0]
+    slots = (replay.cursor + jnp.arange(n_new)) % capacity
+
+    def write(buf, new):
+        return buf.at[slots].set(new)
+
+    data = jax.tree.map(write, replay.data, batch)
+    return ReplayState(
+        data=data,
+        cursor=(replay.cursor + n_new) % capacity,
+        size=jnp.minimum(replay.size + n_new, capacity),
+    )
+
+
+def sample(replay: ReplayState, key: jax.Array, batch_size: int) -> Transition:
+    """Uniform sample with replacement over valid entries (the reference uses
+    ``random.sample`` without replacement; with 1e4 entries and batch 64 the
+    difference is negligible)."""
+    idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(replay.size, 1))
+    return jax.tree.map(lambda b: b[idx], replay.data)

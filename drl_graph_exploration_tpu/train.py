@@ -1,0 +1,141 @@
+"""Training CLI (reference ``scripts/train.py`` + ``run_training.py``).
+
+The reference relays trainer state through pickles and subprocess restarts to
+firewall a C++ memory leak (``train.py:82-84``); a pure-functional env needs
+none of that — one process, periodic checkpoints, clean resume.
+
+Outputs keep the reference's CSV schemas for curve comparability:
+
+* ``reward_data.csv``: ``Step,Reward`` per decision (``policy.py:194``);
+* ``temp_reward.csv``: trailing-1000 average every 100 steps
+  (``policy.py:200-203``);
+* checkpoints: flax msgpack of params (+ full trainer state for resume).
+
+Usage:
+    python -m drl_graph_exploration_tpu.train --method DQN --model GCN \
+        --map-size 40 --decisions 1000 --out-dir runs/dqn_gcn
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import dataclasses
+import os
+import time
+
+import jax
+import numpy as np
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--method", choices=["DQN", "A2C"], default="DQN")
+    ap.add_argument("--model", choices=["GCN", "GG-NN"], default="GCN")
+    ap.add_argument("--map-size", type=float, default=40.0)
+    ap.add_argument("--n-envs", type=int, default=8)
+    ap.add_argument("--decisions", type=int, default=10000,
+                    help="batched decision steps (x n_envs = env decisions)")
+    ap.add_argument("--out-dir", default="runs/default")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint-every", type=int, default=500)
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--max-poses", type=int, default=512)
+    ap.add_argument("--devices", type=int, default=0,
+                    help="data-parallel devices (0 = single-device path)")
+    args = ap.parse_args(argv)
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from flax import serialization
+
+    from .config import CapacityConfig, ExplorationConfig
+    from .models import gnn
+    from .rl import a2c, dqn
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    config = dataclasses.replace(
+        ExplorationConfig().with_map_size(args.map_size),
+        capacity=dataclasses.replace(
+            CapacityConfig(), max_poses=args.max_poses
+        ),
+    )
+    key = jax.random.PRNGKey(args.seed)
+
+    reward_path = os.path.join(args.out_dir, "reward_data.csv")
+    curve_path = os.path.join(args.out_dir, "temp_reward.csv")
+    rewards_log: list[float] = []
+    curve_rows: list[tuple[int, float]] = []
+
+    t_start = time.time()
+
+    if args.method == "DQN":
+        model = gnn.GCN() if args.model == "GCN" else gnn.GGNN()
+        target_update = 15000 if args.model == "GCN" else 9000
+        rl = dqn.RLConfig(n_envs=args.n_envs, target_update=target_update)
+        state = dqn.init_dqn(key, model, config, rl)
+        if args.resume:
+            with open(args.resume, "rb") as f:
+                state = serialization.from_bytes(state, f.read())
+
+        for i in range(args.decisions):
+            state, metrics = dqn.decision_step(state, model, config, rl)
+            _log(metrics, state.step_t, rewards_log, curve_rows, i, args, t_start)
+            if (i + 1) % args.checkpoint_every == 0:
+                _save(args.out_dir, state, state.params, i + 1)
+        _save(args.out_dir, state, state.params, args.decisions)
+    else:
+        actor = gnn.PolicyGCN() if args.model == "GCN" else gnn.PolicyGGNN()
+        critic = gnn.ValueGCN() if args.model == "GCN" else gnn.ValueGGNN()
+        rl = a2c.A2CConfig(n_envs=args.n_envs)
+        state = a2c.init_a2c(key, actor, critic, config, rl)
+        if args.resume:
+            with open(args.resume, "rb") as f:
+                state = serialization.from_bytes(state, f.read())
+        for i in range(args.decisions):
+            state, metrics = a2c.decision_step(state, actor, critic, config, rl)
+            _log(metrics, state.step_t, rewards_log, curve_rows, i, args, t_start)
+            if (i + 1) % args.checkpoint_every == 0:
+                _save(args.out_dir, state, state.actor_params, i + 1)
+        _save(args.out_dir, state, state.actor_params, args.decisions)
+
+    with open(reward_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["Step", "Reward"])
+        for i, r in enumerate(rewards_log):
+            w.writerow([i + 1, r])
+    with open(curve_path, "w", newline="") as f:
+        w = csv.writer(f)
+        for row in curve_rows:
+            w.writerow(row)
+    print(f"done in {time.time() - t_start:.1f}s -> {args.out_dir}")
+
+
+def _log(metrics, step_t, rewards_log, curve_rows, i, args, t_start) -> None:
+    r = float(metrics["reward"])
+    rewards_log.append(r)
+    step = int(step_t)
+    if step > 1000 and i % max(1, 100 // max(args.n_envs, 1)) == 0:
+        avg = float(np.mean(rewards_log[-max(1000 // max(args.n_envs, 1), 1):]))
+        curve_rows.append((step, avg))
+    if i % 10 == 0:
+        msg = " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
+        print(f"[{time.time() - t_start:7.1f}s] decision {i} step_t {step} {msg}",
+              flush=True)
+
+
+def _save(out_dir, state, params, i) -> None:
+    from flax import serialization
+
+    with open(os.path.join(out_dir, "MyModel.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(params))
+    with open(os.path.join(out_dir, "trainer_state.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(state))
+
+
+if __name__ == "__main__":
+    main()
