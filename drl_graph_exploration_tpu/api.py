@@ -147,6 +147,36 @@ class ExplorationEnv:
             plt.pause(0.001)
 
 
+class SS2D(ExplorationEnv):
+    """Simulator+SLAM facade (reference ``SS2D``,
+    ``/root/reference/scripts/envs/pyss2d.py:58-258``): exposes the
+    move/measure/optimize/update_virtual_map/simulate granularity for users
+    who drive the simulation directly."""
+
+    def simulate(self, odom, core: bool = True) -> bool:
+        _, _, _ = self.step(np.asarray(odom, np.float32))
+        return False  # obstacle flag (safe_distance = 0 in the default config)
+
+    def simulate_simple(self, odom) -> None:
+        self.simulate(odom)
+
+    @property
+    def vehicle_position(self) -> np.ndarray:
+        return np.asarray(bel.current_pose(self.state.belief, self.config))
+
+    @property
+    def step_count(self) -> int:
+        return int(self.state.step)
+
+    def plot(self):
+        from .utils.plotting import render_state
+
+        render_state(self.state, self.config)
+
+    def savefig(self, figname: str | None = None):
+        self.render(savefig=figname or f"step{self.step_count}.png")
+
+
 class EMExplorer(ExplorationEnv):
     """EM-planner facade (reference ``EMExplorer``,
     ``/root/reference/scripts/envs/pyplanner2d.py:56-152``): adds ``plan`` /

@@ -60,6 +60,9 @@ class VirtualMapConfig:
     sigma0: float = 1.0
     num_samples: int = 1
     ext: float = 20.0
+    # Use the Pallas VMEM-resident covariance-intersection fold kernel for the
+    # information raster (TPU only; the XLA scan path is the portable default)
+    use_pallas: bool = False
 
 
 @dataclass(frozen=True)

@@ -293,15 +293,17 @@ def add_measurements(
     k = jnp.linalg.solve(s_mat, pht.T).T  # (D, 2L)
 
     mu = mu + k @ nu
-    # Joseph-expanded update; symmetric by construction (s_mat symmetrised),
-    # so no extra full-matrix symmetrisation pass.  HIGHEST precision: the
-    # rank-2L downdate in bf16 passes destroys positive-definiteness.
+    # Joseph-expanded update in HIGHEST precision (bf16 passes destroy
+    # positive-definiteness), followed by explicit symmetrisation — without
+    # it f32 asymmetry accumulates over long episodes and the filter
+    # eventually diverges (observed at ~50 steps).
     cov = (
         cov
         - jnp.matmul(k, pht.T, precision=prec)
         - jnp.matmul(pht, k.T, precision=prec)
         + jnp.matmul(jnp.matmul(k, s_mat, precision=prec), k.T, precision=prec)
     )
+    cov = 0.5 * (cov + cov.T)
 
     # ------------------------------------------- batched landmark insertion
     # (unconditional: under vmap a lax.cond lowers to select and would run
@@ -576,3 +578,42 @@ def gauss_newton_refresh(
     cov = jnp.linalg.inv(lam)
     cov = 0.5 * (cov + cov.T)
     return belief._replace(mu=mu, cov=cov)
+
+
+# ---------------------------------------------------------------------------
+# marginal / sampling APIs (reference SLAM2D::jointMarginalCovariance,
+# SLAM2D::sample — SLAM2D.cpp:276-368, 499-550)
+
+
+def joint_marginal_covariance(
+    belief: BeliefState,
+    pose_ids: jax.Array,
+    lm_ids: jax.Array,
+    config: ExplorationConfig,
+) -> jax.Array:
+    """Joint covariance over the requested poses (3 rows each, global frame)
+    then landmarks (2 rows each) — the covariance-form belief holds the full
+    joint, so this is a gather (the reference reconstructs it from the Bayes
+    tree, ``FastMarginals.cpp:24-57``)."""
+    p = config.capacity.max_poses
+    rows = jnp.concatenate(
+        [
+            (3 * pose_ids[:, None] + jnp.arange(3)[None, :]).reshape(-1),
+            (3 * p + 2 * lm_ids[:, None] + jnp.arange(2)[None, :]).reshape(-1),
+        ]
+    )
+    return belief.cov[jnp.ix_(rows, rows)]
+
+
+def sample_posterior(
+    belief: BeliefState, key: jax.Array, config: ExplorationConfig
+) -> jax.Array:
+    """Draw one joint sample of the full state from N(mu, cov) (the
+    capability of ``SLAM2D::sample``'s Bayes-tree backward sampling,
+    ``SLAM2D.cpp:499-550``).  Inactive slots carry identity covariance, so
+    their samples are discarded by the caller's masks."""
+    d = config.capacity.state_dim
+    jitter = 1e-8 * jnp.eye(d)
+    chol = jnp.linalg.cholesky(belief.cov + jitter)
+    z = jax.random.normal(key, (d,))
+    return belief.mu + chol @ z

@@ -123,9 +123,30 @@ class HostPlanner:
         goal: np.ndarray | None = None,
     ) -> tuple[OptimizationResult, RRTree]:
         """``optimize2`` sampling loop (goal=None) or goal-directed
-        ``rrt_planner`` (``Planner2D.cpp:838-935``)."""
+        ``rrt_planner`` (``Planner2D.cpp:838-935``).  Uses the native C++
+        tree builder (native/hostrt.cpp) when built; numpy fallback below."""
+        from .. import native
+
         cfg = self.config
         pl = cfg.planner
+        if native.AVAILABLE:
+            n, poses, parent, distance, self.halton_count = native.rrt_grow(
+                root_pose,
+                np.asarray(landmarks)[np.asarray(lm_valid)],
+                (cfg.map_min_x, cfg.map_max_x, cfg.map_min_y, cfg.map_max_y),
+                pl.safe_distance,
+                pl.max_edge_length,
+                pl.angle_weight,
+                max_nodes,
+                self.halton_count,
+                MAX_TREE,
+                goal=None if goal is None else np.asarray(goal, np.float64),
+            )
+            if n < 0:
+                return OptimizationResult.SAMPLING_FAILURE, RRTree(
+                    poses, parent, distance, 1
+                )
+            return OptimizationResult.SUCCESS, RRTree(poses, parent, distance, n)
         safe = pl.safe_distance
         # initial safe-distance relaxation (Planner2D.cpp:1046-1054)
         if lm_valid.any():

@@ -179,6 +179,12 @@ def update_information(
 
     r_noise = jnp.diag(jnp.array([s.bearing_noise, s.range_noise]) ** 2)
 
+    if config.virtual_map.use_pallas:
+        from ..ops.ci_fold import update_information_pallas
+
+        info = update_information_pallas(poses, cov_local, active, centers, config)
+        return vmap_state._replace(info=info)
+
     # ------------------------------------------------------------------
     # TPU layout: symmetric 2x2 matrices live as three scalar PLANES
     # (a, b, d) over cells — (..., 2, 2) tensors put size-2 dims in the
@@ -372,3 +378,25 @@ def explored(vmap_state: VirtualMapState, config: ExplorationConfig) -> jax.Arra
     res_i = int(config.virtual_map.resolution)
     denom = (config.grid_rows - 40 // res_i) * (config.grid_cols - 40 // res_i)
     return count.astype(jnp.float32) / float(max(denom, 1))
+
+
+def update_probability_single_pose(
+    vmap_state: VirtualMapState, pose: jax.Array, config: ExplorationConfig
+) -> VirtualMapState:
+    """Incremental single-pose occupancy update
+    (``VirtualMap::updateProbability(state, sensor)`` +
+    ``OccupancyMap::update(state, ...)``, used by the OG_SHANNON planner
+    variants): one log-odds step for every visible cell, with the reference's
+    occupied-vs-free branch on the current value and the MIN/MAX clamps."""
+    centers = cell_centers(config)
+    _, _, vis = measure_noiseless(
+        pose[None, None, :], centers, config, with_min_range=False
+    )
+    p = jnp.clip(vmap_state.prob, 1e-6, 1.0 - 1e-6)
+    logodds = jnp.log(p / (1.0 - p))
+    occupied = logodds > 1e-8
+    delta = jnp.where(occupied, LOGODDS_OCCUPIED, LOGODDS_FREE)
+    new = jnp.clip(logodds + delta, MIN_LOGODDS, MAX_LOGODDS)
+    saturated = jnp.abs(logodds - MIN_LOGODDS) < 1e-5
+    logodds = jnp.where(vis & ~saturated, new, logodds)
+    return vmap_state._replace(prob=jax.nn.sigmoid(logodds))

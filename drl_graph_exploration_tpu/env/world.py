@@ -169,3 +169,27 @@ def measure_noiseless(
     if with_min_range:
         visible = visible & (rng > s.min_range)
     return bearing, rng, visible
+
+
+# ---------------------------------------------------------------------------
+# polygon obstacles (reference Polygon, Simulation2D.h:24-43 /
+# Simulator2D.cpp:30-58 — supported by the reference but never populated by
+# its Python layer; provided for capability parity)
+
+
+def point_in_polygon(vx: jax.Array, vy: jax.Array, x, y) -> jax.Array:
+    """Crossing-number point-in-polygon test (alienryderflex algorithm used by
+    ``Polygon::pointInPolygon``), vectorised over query points."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n = vx.shape[0]
+    j = jnp.roll(jnp.arange(n), 1)
+    vyj, vxj = vy[j], vx[j]
+    crosses = ((vy[:, None] < y[None, :]) & (vyj[:, None] >= y[None, :])) | (
+        (vyj[:, None] < y[None, :]) & (vy[:, None] >= y[None, :])
+    )
+    denom = jnp.where(vyj == vy, 1.0, vyj - vy)
+    slope = jnp.where(vyj == vy, 0.0, (vxj - vx)) / denom
+    x_int = vx[:, None] + (y[None, :] - vy[:, None]) * slope[:, None]
+    odd = jnp.sum(crosses & (x_int < x[None, :]), axis=0) % 2
+    return odd.astype(bool)
