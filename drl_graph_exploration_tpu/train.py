@@ -43,6 +43,12 @@ def main(argv=None) -> None:
     ap.add_argument("--max-poses", type=int, default=512)
     ap.add_argument("--devices", type=int, default=0,
                     help="data-parallel devices (0 = single-device path)")
+    ap.add_argument("--observe", type=int, default=5000)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--replay", type=int, default=10000)
+    ap.add_argument("--edge-cap", type=int, default=4096)
+    ap.add_argument("--tensorboard", action="store_true",
+                    help="also stream metrics to TensorBoard (reference parity)")
     args = ap.parse_args(argv)
 
     jax.config.update(
@@ -72,11 +78,23 @@ def main(argv=None) -> None:
     curve_rows: list[tuple[int, float]] = []
 
     t_start = time.time()
+    tb_writer = None
+    if args.tensorboard:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb_writer = SummaryWriter(os.path.join(args.out_dir, "tb"))
 
     if args.method == "DQN":
         model = gnn.GCN() if args.model == "GCN" else gnn.GGNN()
         target_update = 15000 if args.model == "GCN" else 9000
-        rl = dqn.RLConfig(n_envs=args.n_envs, target_update=target_update)
+        rl = dqn.RLConfig(
+            n_envs=args.n_envs,
+            target_update=target_update,
+            observe=args.observe,
+            batch=args.batch,
+            replay_memory=args.replay,
+            edge_cap=args.edge_cap,
+        )
         state = dqn.init_dqn(key, model, config, rl)
         if args.resume:
             with open(args.resume, "rb") as f:
@@ -84,7 +102,8 @@ def main(argv=None) -> None:
 
         for i in range(args.decisions):
             state, metrics = dqn.decision_step(state, model, config, rl)
-            _log(metrics, state.step_t, rewards_log, curve_rows, i, args, t_start)
+            _log(metrics, state.step_t, rewards_log, curve_rows, i, args, t_start,
+                 tb_writer)
             if (i + 1) % args.checkpoint_every == 0:
                 _save(args.out_dir, state, state.params, i + 1)
         _save(args.out_dir, state, state.params, args.decisions)
@@ -98,7 +117,8 @@ def main(argv=None) -> None:
                 state = serialization.from_bytes(state, f.read())
         for i in range(args.decisions):
             state, metrics = a2c.decision_step(state, actor, critic, config, rl)
-            _log(metrics, state.step_t, rewards_log, curve_rows, i, args, t_start)
+            _log(metrics, state.step_t, rewards_log, curve_rows, i, args, t_start,
+                 tb_writer)
             if (i + 1) % args.checkpoint_every == 0:
                 _save(args.out_dir, state, state.actor_params, i + 1)
         _save(args.out_dir, state, state.actor_params, args.decisions)
@@ -115,13 +135,17 @@ def main(argv=None) -> None:
     print(f"done in {time.time() - t_start:.1f}s -> {args.out_dir}")
 
 
-def _log(metrics, step_t, rewards_log, curve_rows, i, args, t_start) -> None:
+def _log(metrics, step_t, rewards_log, curve_rows, i, args, t_start,
+         tb_writer=None) -> None:
     r = float(metrics["reward"])
     rewards_log.append(r)
     step = int(step_t)
     if step > 1000 and i % max(1, 100 // max(args.n_envs, 1)) == 0:
         avg = float(np.mean(rewards_log[-max(1000 // max(args.n_envs, 1), 1):]))
         curve_rows.append((step, avg))
+        if tb_writer is not None:
+            tb_writer.add_scalar("average_reward", avg, step)
+            tb_writer.add_scalar("loss", float(metrics["loss"]), step)
     if i % 10 == 0:
         msg = " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
         print(f"[{time.time() - t_start:7.1f}s] decision {i} step_t {step} {msg}",
