@@ -81,6 +81,9 @@ class PlannerConfig:
     alpha: float = 0.5
     algorithm: str = "EM_AOPT"
     reg_out: bool = False
+    # How many per-goal reward rollouts run in parallel (each holds a forked
+    # joint covariance; memory = n_envs * chunk * D^2 floats)
+    reward_goal_chunk: int = 4
 
 
 @dataclass(frozen=True)
@@ -134,6 +137,10 @@ class BeliefConfig:
 
     relinearize_every: int = 0
     gn_iterations: int = 2
+    # Gauss-Newton iterations inside the joint measurement update (iterated
+    # EKF).  1 = plain EKF; 2+ stabilises loop closures after dead-reckoning
+    # drift (large-innovation bearing relinearisation).
+    iekf_iterations: int = 2
 
 
 @dataclass(frozen=True)

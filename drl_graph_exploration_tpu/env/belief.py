@@ -253,46 +253,76 @@ def add_measurements(
     new_mask = meas.valid & ~belief.lm_seen
 
     x = jax.lax.dynamic_slice(belief.mu, (pr,), (3,))
-    lm = belief.mu[lr0:].reshape(l, 2)
     mu, cov = belief.mu, belief.cov
-
-    # ----------------------------------------------------- joint EKF update
-    hb, hr = se2.bearing_range(x[None, :], lm)  # (L,)
-    hx, hl = se2.bearing_range_jacobians_global(x[None, :], lm)  # (L,2,3),(L,2,2)
-    m3 = upd_mask[:, None, None]
-    hx = jnp.where(m3, hx, 0.0)
-    hl = jnp.where(m3, hl, 0.0)
-    nu = jnp.stack(
-        [se2.wrap_angle(meas.bearing - hb), meas.range - hr], axis=-1
-    )  # (L, 2)
-    nu = jnp.where(upd_mask[:, None], nu, 0.0).reshape(2 * l)
+    prec = jax.lax.Precision.HIGHEST
+    z_stack = jnp.stack([meas.bearing, meas.range], axis=-1)  # (L, 2)
     r_diag = jnp.where(
         upd_mask[:, None],
         jnp.array([s.bearing_noise, s.range_noise]) ** 2,
         1.0,
     ).reshape(2 * l)
-
-    prec = jax.lax.Precision.HIGHEST
     c_pose = jax.lax.dynamic_slice(cov, (0, pr), (d, 3))  # (D, 3)
     c_lm = cov[:, lr0:]  # (D, 2L) — landmark block is contiguous
-    hx_flat = hx.reshape(2 * l, 3)
-    pht = jnp.matmul(c_pose, hx_flat.T, precision=prec) + jnp.einsum(
-        "dlj,lkj->dlk", c_lm.reshape(d, l, 2), hl, precision=prec
-    ).reshape(d, 2 * l)  # (D, 2L) = Sigma H^T
 
-    pht_pose = jax.lax.dynamic_slice(pht, (pr, 0), (3, 2 * l))  # (3, 2L)
-    pht_lm = pht[lr0:].reshape(l, 2, 2 * l)  # per-lm rows of Sigma H^T
-    s_mat = (
-        jnp.matmul(hx_flat, pht_pose, precision=prec)
-        + jnp.einsum("ljk,lkM->ljM", hl, pht_lm, precision=prec).reshape(
-            2 * l, 2 * l
+    # -------------------------------------------- iterated joint EKF update
+    # A single EKF step overshoots on loop closures after dead-reckoning
+    # drift (bearing linearisation invalid once the innovation spans tens of
+    # degrees) — observed as filter divergence around the first long-range
+    # re-observation.  The reference's iSAM2 effectively Gauss-Newton-iterates
+    # the step's factor batch; we do the same with the iterated EKF:
+    # x_{i+1} = x0 + K_i (z - h(x_i) - H_i (x0 - x_i)), gain from the prior
+    # covariance, final covariance with the last linearisation.
+    def linearize(pose_i, lm_i):
+        hb, hr = se2.bearing_range(pose_i[None, :], lm_i)
+        hx, hl = se2.bearing_range_jacobians_global(pose_i[None, :], lm_i)
+        m3 = upd_mask[:, None, None]
+        hx = jnp.where(m3, hx, 0.0)
+        hl = jnp.where(m3, hl, 0.0)
+        nu = jnp.stack(
+            [se2.wrap_angle(meas.bearing - hb), meas.range - hr], axis=-1
         )
-        + jnp.diag(r_diag)
-    )
-    s_mat = 0.5 * (s_mat + s_mat.T)
-    k = jnp.linalg.solve(s_mat, pht.T).T  # (D, 2L)
+        nu = jnp.where(upd_mask[:, None], nu, 0.0).reshape(2 * l)
+        return hx, hl, nu
 
-    mu = mu + k @ nu
+    def gain(hx, hl):
+        hx_flat = hx.reshape(2 * l, 3)
+        pht = jnp.matmul(c_pose, hx_flat.T, precision=prec) + jnp.einsum(
+            "dlj,lkj->dlk", c_lm.reshape(d, l, 2), hl, precision=prec
+        ).reshape(d, 2 * l)  # (D, 2L) = Sigma H^T
+        pht_pose = jax.lax.dynamic_slice(pht, (pr, 0), (3, 2 * l))
+        pht_lm = pht[lr0:].reshape(l, 2, 2 * l)
+        s_mat = (
+            jnp.matmul(hx_flat, pht_pose, precision=prec)
+            + jnp.einsum("ljk,lkM->ljM", hl, pht_lm, precision=prec).reshape(
+                2 * l, 2 * l
+            )
+            + jnp.diag(r_diag)
+        )
+        s_mat = 0.5 * (s_mat + s_mat.T)
+        k = jnp.linalg.solve(s_mat, pht.T).T  # (D, 2L)
+        return pht, s_mat, k
+
+    x0_pose = x
+    lm0 = mu[lr0:].reshape(l, 2)
+    pose_i, lm_i = x0_pose, lm0
+    hx = hl = nu = pht = s_mat = k = None
+    n_iters = max(1, config.belief.iekf_iterations)
+    for _ in range(n_iters):
+        hx, hl, nu = linearize(pose_i, lm_i)
+        pht, s_mat, k = gain(hx, hl)
+        # H_i (x0 - x_i): sparse over the (pose, lm) entries
+        dp = x0_pose - pose_i
+        dl = lm0 - lm_i
+        corr = (
+            jnp.einsum("lij,j->li", hx, dp)
+            + jnp.einsum("lij,lj->li", hl, dl)
+        ).reshape(2 * l)
+        delta = k @ (nu - corr)  # (D,)
+        mu_i = belief.mu + delta
+        pose_i = jax.lax.dynamic_slice(mu_i, (pr,), (3,))
+        lm_i = mu_i[lr0:].reshape(l, 2)
+
+    mu = mu_i
     # Joseph-expanded update in HIGHEST precision (bf16 passes destroy
     # positive-definiteness), followed by explicit symmetrisation — without
     # it f32 asymmetry accumulates over long episodes and the filter

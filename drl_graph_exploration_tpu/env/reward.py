@@ -96,9 +96,26 @@ def rewards_all_goals(
 ) -> jax.Array:
     """(G,) raw rewards for every candidate goal, NaN for invalid slots
     (normalisation happens at the env level,
-    ``/root/reference/scripts/envs/exploration_env.py:145-162``)."""
+    ``/root/reference/scripts/envs/exploration_env.py:145-162``).
+
+    Goals are evaluated ``reward_goal_chunk`` at a time: each chunk's rollouts
+    run in parallel (vmap — each holds a forked joint covariance, so the chunk
+    size bounds live memory), chunks sequentially (lax.map)."""
     g = goal_valid.shape[0]
     keys = jax.random.split(key, g)
+    chunk = max(1, min(config.planner.reward_goal_chunk, g))
+    n_chunks = -(-g // chunk)
+    pad = n_chunks * chunk - g
+
+    def pad_r(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)).reshape(
+            n_chunks, chunk, *x.shape[1:]
+        )
+
+    odoms_c = pad_r(goal_actions.odoms)
+    valid_c = pad_r(goal_actions.valid)
+    keys_c = pad_r(keys)
+    gv_c = pad_r(goal_valid)
 
     def one(args):
         odoms, valid, k, gv = args
@@ -106,9 +123,11 @@ def rewards_all_goals(
         r = rollout_reward(world_state, belief, vmap_state, acts, k, config)
         return jnp.where(gv, r, jnp.nan)
 
-    return jax.lax.map(
-        one, (goal_actions.odoms, goal_actions.valid, keys, goal_valid)
-    )
+    def one_chunk(args):
+        return jax.vmap(one)(args)
+
+    out = jax.lax.map(one_chunk, (odoms_c, valid_c, keys_c, gv_c))
+    return out.reshape(-1)[:g]
 
 
 def normalize_rewards(

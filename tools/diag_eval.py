@@ -11,7 +11,7 @@ cfg = dataclasses.replace(
     capacity=dataclasses.replace(CapacityConfig(), max_poses=160))
 model = gnn.GCN()
 params = it.gcn_params_from_torch(it.load_state_dict("/root/reference/data/torch_weights/DQN_GCN/MyModel.pt"))
-state = jax.jit(lambda k: ee.reset(k, cfg))(jax.random.PRNGKey(0))
+state = jax.jit(lambda k: ee.reset(k, cfg))(jax.random.PRNGKey(int(__import__("sys").argv[1]) if len(__import__("sys").argv)>1 else 0))
 obs_fn = jax.jit(lambda s: ee.observe(s, cfg))
 acts_fn = jax.jit(lambda s, f: ee.actions_all_goals(s, f, cfg))
 step_fn = jax.jit(lambda s, o: ee.env_step(s, o, cfg))
