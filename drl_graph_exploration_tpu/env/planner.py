@@ -297,10 +297,40 @@ def evaluate_chains(
             return jax.lax.cond(v, do, lambda b: b, b), None
 
         b, _ = jax.lax.scan(step, belief, (chain, valid))
+        algo = config.planner.algorithm
+        if algo in ("OG_SHANNON", "SLAM_OG_SHANNON"):
+            # occupancy-entropy objectives (Planner2D.cpp:368-416): rebuild
+            # the probability raster over the rolled belief and sum the
+            # binary entropy of every cell.
+            vp = vm.update_probability(vmap_state, b, config)
+            p = jnp.clip(vp.prob, 1e-12, 1 - 1e-12)
+            og_entropy = jnp.sum(-p * jnp.log(p) - (1 - p) * jnp.log(1 - p))
+            if algo == "OG_SHANNON":
+                return og_entropy
+            # SLAM_OG_SHANNON: alpha-weighted blend with the SLAM landmark
+            # uncertainty, weights normalised by the root values
+            # (Planner2D.cpp:1341-1354, 394-416)
+            lm_cov = bel.lm_cov_blocks(b, config)
+            det = jnp.linalg.det(lm_cov)
+            slam_unc = jnp.sum(
+                jnp.where(b.lm_seen, jnp.sqrt(jnp.maximum(det, 0.0)), 0.0)
+            )
+            p0 = jnp.clip(vmap_state.prob, 1e-12, 1 - 1e-12)
+            root_entropy = jnp.sum(
+                -p0 * jnp.log(p0) - (1 - p0) * jnp.log(1 - p0)
+            )
+            det0 = jnp.linalg.det(bel.lm_cov_blocks(belief, config))
+            root_slam = jnp.sum(
+                jnp.where(belief.lm_seen, jnp.sqrt(jnp.maximum(det0, 0.0)), 0.0)
+            )
+            alpha = config.planner.alpha
+            w2 = (1 - alpha) / jnp.maximum(root_entropy, 1e-12)
+            w1 = alpha / jnp.maximum(root_slam, 1e-12)
+            return w2 * og_entropy + w1 * slam_unc
         v2 = vm.update_information(vmap_state, b, config)
         trace = vm.to_cov_trace(v2)
         weight = (vmap_state.prob > 0.49).astype(trace.dtype)
-        if config.planner.algorithm == "EM_DOPT":
+        if algo == "EM_DOPT":
             det = jnp.linalg.det(v2.info)
             return jnp.sum(weight / jnp.where(det == 0, 1.0, det))
         return jnp.sum(weight * trace)
@@ -387,3 +417,14 @@ def rrt_plan(
         for i in range(len(full) - 1)
     ]
     return OptimizationResult.SUCCESS, odoms
+
+
+def optimize(
+    env_state, config: ExplorationConfig, seed: int = 0
+) -> tuple[OptimizationResult, list[np.ndarray]]:
+    """``EMPlanner2D::optimize`` (``Planner2D.cpp:1130-1279``).  With
+    ``LEAFONLY`` (the reference's compiled configuration) the behaviour is
+    leaf-only evaluation == :func:`optimize2`; the post-failure
+    distance-weight retry loop upstream is unreachable (dead code after
+    ``return NO_SOLUTION``, ``Planner2D.cpp:1217-1275``)."""
+    return optimize2(env_state, config, seed)
