@@ -1,0 +1,1 @@
+from . import a2c, dqn, replay  # noqa: F401

@@ -74,8 +74,10 @@ def main(argv=None) -> None:
 
     reward_path = os.path.join(args.out_dir, "reward_data.csv")
     curve_path = os.path.join(args.out_dir, "temp_reward.csv")
+    loss_path = os.path.join(args.out_dir, "temp_loss.csv")
     rewards_log: list[float] = []
     curve_rows: list[tuple[int, float]] = []
+    loss_rows: list[tuple[int, float]] = []
 
     t_start = time.time()
     tb_writer = None
@@ -103,7 +105,7 @@ def main(argv=None) -> None:
         for i in range(args.decisions):
             state, metrics = dqn.decision_step(state, model, config, rl)
             _log(metrics, state.step_t, rewards_log, curve_rows, i, args, t_start,
-                 tb_writer)
+                 tb_writer, loss_rows)
             if (i + 1) % args.checkpoint_every == 0:
                 _save(args.out_dir, state, state.params, i + 1)
         _save(args.out_dir, state, state.params, args.decisions)
@@ -118,7 +120,7 @@ def main(argv=None) -> None:
         for i in range(args.decisions):
             state, metrics = a2c.decision_step(state, actor, critic, config, rl)
             _log(metrics, state.step_t, rewards_log, curve_rows, i, args, t_start,
-                 tb_writer)
+                 tb_writer, loss_rows)
             if (i + 1) % args.checkpoint_every == 0:
                 _save(args.out_dir, state, state.actor_params, i + 1)
         _save(args.out_dir, state, state.actor_params, args.decisions)
@@ -132,14 +134,20 @@ def main(argv=None) -> None:
         w = csv.writer(f)
         for row in curve_rows:
             w.writerow(row)
+    with open(loss_path, "w", newline="") as f:
+        w = csv.writer(f)
+        for row in loss_rows:
+            w.writerow(row)
     print(f"done in {time.time() - t_start:.1f}s -> {args.out_dir}")
 
 
 def _log(metrics, step_t, rewards_log, curve_rows, i, args, t_start,
-         tb_writer=None) -> None:
+         tb_writer=None, loss_rows=None) -> None:
     r = float(metrics["reward"])
     rewards_log.append(r)
     step = int(step_t)
+    if loss_rows is not None and float(metrics.get("loss", 0.0)) != 0.0:
+        loss_rows.append((step, float(metrics["loss"])))
     if step > 1000 and i % max(1, 100 // max(args.n_envs, 1)) == 0:
         avg = float(np.mean(rewards_log[-max(1000 // max(args.n_envs, 1), 1):]))
         curve_rows.append((step, avg))
