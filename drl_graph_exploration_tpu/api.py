@@ -52,6 +52,18 @@ class ExplorationEnv:
         )
         self.loop_clo = False
         self.dist = 0.0
+        # discrete action set for reg_out mode (exploration_env.py:46-54)
+        num_actions = self.config.planner.num_actions
+        step_length = self.config.planner.max_edge_length
+        rotations = (
+            np.arange(0, 2 * np.pi, 2 * np.pi / num_actions) - np.pi
+        )
+        self._rotation_set = rotations
+        self._action_set = [
+            np.array([np.cos(t) * step_length, np.sin(t) * step_length, t])
+            for t in rotations
+        ]
+        self.action_space_n = num_actions
         self.reset()
 
     # ------------------------------------------------------------------ core
@@ -66,6 +78,11 @@ class ExplorationEnv:
         return np.asarray(self.state.vmap.prob)
 
     def step(self, action) -> tuple[np.ndarray, bool, dict[str, Any]]:
+        """One primitive step.  With ``planner.reg_out`` the action is an
+        integer into the discrete rotation set (reference
+        ``exploration_env.py:46-54, 98-100``); otherwise an odometry triple."""
+        if self.config.planner.reg_out and np.ndim(action) == 0:
+            action = self._action_set[int(action)]
         odom = jnp.asarray(action, jnp.float32)
         self.state = self._step_fn(self.state, odom)
         self.dist = float(self.state.dist)
