@@ -147,6 +147,10 @@ def main(argv=None) -> None:
     ap.add_argument("--torch-weights", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--max-poses", type=int, default=512)
+    ap.add_argument("--batched", action="store_true",
+                    help="run all episodes as one vmapped batch (TPU-fast)")
+    ap.add_argument("--max-step", type=int, default=0,
+                    help="override the per-map plot cutoff")
     args = ap.parse_args(argv)
 
     from .config import CapacityConfig, ExplorationConfig
@@ -158,17 +162,20 @@ def main(argv=None) -> None:
     model = build_model(args.method, args.model)
     params = load_params(args, model, config)
 
-    all_rows = []
-    for ep in range(args.episodes):
-        rows = run_episode(ep, args, config, model, params, args.method)
-        all_rows.extend(rows)
-        if rows:
-            print(
-                f"episode {ep}: steps={rows[-1]['Step']} "
-                f"entropy={rows[-1]['Map entropy']:.1f} "
-                f"lerr={rows[-1]['Landmarks error']:.3f}",
-                flush=True,
-            )
+    if args.batched:
+        all_rows = run_batched(args, config, model, params, args.method)
+    else:
+        all_rows = []
+        for ep in range(args.episodes):
+            rows = run_episode(ep, args, config, model, params, args.method)
+            all_rows.extend(rows)
+            if rows:
+                print(
+                    f"episode {ep}: steps={rows[-1]['Step']} "
+                    f"entropy={rows[-1]['Map entropy']:.1f} "
+                    f"lerr={rows[-1]['Landmarks error']:.3f}",
+                    flush=True,
+                )
 
     out = args.out or f"{int(args.map_size)}_{args.method}_{args.model}.csv"
     if all_rows:
@@ -181,3 +188,138 @@ def main(argv=None) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# batched evaluation: all episodes advance in lockstep on the accelerator
+
+
+def run_batched(args, config, model, params, method: str):
+    """Vectorised evaluation: every episode is one lane of a vmapped batch;
+    each outer iteration runs one greedy decision + macro-action execution for
+    all live episodes inside jit, writing per-step metrics into (B, T)
+    buffers at each lane's own step cursor."""
+    import jax
+    import jax.numpy as jnp
+
+    from .env import exploration_env as ee
+    from .rl.dqn import frontier_slot_mask
+
+    b = args.episodes
+    n = config.capacity.max_nodes
+    max_step = args.max_step or PLOT_MAX_STEP.get(int(args.map_size), 400)
+
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(b))
+    states = jax.jit(jax.vmap(lambda k: ee.reset(k, config)))(keys)
+
+    def decision(states, finished, metrics, cursors):
+        obs, frontiers = jax.vmap(lambda s: ee.observe(s, config))(states)
+        fmask = jax.vmap(lambda ks, fs: frontier_slot_mask(ks, fs, n))(
+            obs.key_size, obs.fro_size
+        )
+        if method == "DQN":
+            q = model.apply(params, obs.features, obs.adjacency, obs.node_valid)
+        else:
+            q = model.apply(
+                params, obs.features, obs.adjacency, obs.node_valid, fmask
+            )
+        q = jnp.where(fmask, q, -jnp.inf)
+        action_node = jnp.argmax(q, axis=-1).astype(jnp.int32)
+        goal = jnp.clip(action_node - obs.key_size, 0, frontiers.xy.shape[1] - 1)
+        no_frontier = obs.fro_size == 0
+        acts = jax.vmap(lambda s, f: ee.actions_all_goals(s, f, config))(
+            states, frontiers
+        )
+        chosen_odoms = jnp.take_along_axis(
+            acts.odoms, goal[:, None, None, None], axis=1
+        )[:, 0]
+        chosen_valid = jnp.take_along_axis(acts.valid, goal[:, None, None], axis=1)[
+            :, 0
+        ]
+
+        def run_env(s, odoms, valid, fin, met, cur):
+            def body(carry, inp):
+                s, fin, met, cur = carry
+                od, v = inp
+                do_step = v & ~fin
+
+                def stepped(s):
+                    return ee.env_step(s, od, config)
+
+                s = jax.lax.cond(do_step, stepped, lambda s: s, s)
+                done = ee.is_done(s, config)
+                entro = ee.map_entropy(s.vmap.prob, int(args.map_size))
+                lerr = ee.landmark_error(s, config)
+                mu = ee.max_uncertainty_of_trajectory(s, config)
+                idx = jnp.minimum(cur, max_step - 1)
+                met = {
+                    "entropy": met["entropy"].at[idx].set(
+                        jnp.where(do_step, entro, met["entropy"][idx])
+                    ),
+                    "lerr": met["lerr"].at[idx].set(
+                        jnp.where(do_step, lerr, met["lerr"][idx])
+                    ),
+                    "maxunc": met["maxunc"].at[idx].set(
+                        jnp.where(do_step, mu, met["maxunc"][idx])
+                    ),
+                }
+                cur = jnp.where(do_step, cur + 1, cur)
+                fin = fin | (do_step & done)
+                return (s, fin, met, cur), None
+
+            (s, fin, met, cur), _ = jax.lax.scan(
+                body, (s, fin, met, cur), (odoms, valid)
+            )
+            return s, fin, met, cur
+
+        states, finished, metrics, cursors = jax.vmap(run_env)(
+            states, chosen_odoms, chosen_valid, finished | no_frontier, metrics,
+            cursors,
+        )
+        return states, finished, metrics, cursors
+
+    decision_j = jax.jit(decision)
+    finished = jnp.zeros((b,), bool)
+    metrics = {
+        "entropy": jnp.zeros((b, max_step)),
+        "lerr": jnp.zeros((b, max_step)),
+        "maxunc": jnp.zeros((b, max_step)),
+    }
+    cursors = jnp.zeros((b,), jnp.int32)
+    max_decisions = max_step  # every decision advances >= 1 step
+    for d in range(max_decisions):
+        states, finished, metrics, cursors = decision_j(
+            states, finished, metrics, cursors
+        )
+        done_n = int(finished.sum())
+        cur_min = int(cursors.min())
+        if d % 10 == 0:
+            print(f"decision {d}: finished {done_n}/{b} min_steps {cur_min}",
+                  flush=True)
+        if done_n == b or cur_min >= max_step:
+            break
+
+    # pad each lane's tail with its final value (test.py:146-151)
+    import numpy as np
+
+    rows = []
+    ent = np.asarray(metrics["entropy"])
+    ler = np.asarray(metrics["lerr"])
+    mun = np.asarray(metrics["maxunc"])
+    curs = np.asarray(cursors)
+    for ep in range(b):
+        c = max(int(curs[ep]), 1)
+        for t in range(max_step):
+            tt = min(t, c - 1)
+            rows.append(
+                {
+                    "Step": t + 1,
+                    "Category": f"{args.method}+{args.model}",
+                    "Map entropy": float(ent[ep, tt]),
+                    "Landmarks error": float(ler[ep, tt]),
+                    "Max localization uncertainty": float(mun[ep, tt]),
+                    "Computation time": 0.0,
+                    "Map size": args.map_size,
+                }
+            )
+    return rows
