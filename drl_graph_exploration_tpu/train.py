@@ -107,7 +107,8 @@ def main(argv=None) -> None:
             _log(metrics, state.step_t, rewards_log, curve_rows, i, args, t_start,
                  tb_writer, loss_rows)
             if (i + 1) % args.checkpoint_every == 0:
-                _save(args.out_dir, state, state.params, i + 1)
+                _save(args.out_dir, state, state.params, i + 1,
+                      rewards_log, curve_rows, loss_rows)
         _save(args.out_dir, state, state.params, args.decisions)
     else:
         actor = gnn.PolicyGCN() if args.model == "GCN" else gnn.PolicyGGNN()
@@ -122,7 +123,8 @@ def main(argv=None) -> None:
             _log(metrics, state.step_t, rewards_log, curve_rows, i, args, t_start,
                  tb_writer, loss_rows)
             if (i + 1) % args.checkpoint_every == 0:
-                _save(args.out_dir, state, state.actor_params, i + 1)
+                _save(args.out_dir, state, state.actor_params, i + 1,
+                      rewards_log, curve_rows, loss_rows)
         _save(args.out_dir, state, state.actor_params, args.decisions)
 
     with open(reward_path, "w", newline="") as f:
@@ -160,13 +162,29 @@ def _log(metrics, step_t, rewards_log, curve_rows, i, args, t_start,
               flush=True)
 
 
-def _save(out_dir, state, params, i) -> None:
+def _save(out_dir, state, params, i, rewards_log=None, curve_rows=None,
+          loss_rows=None) -> None:
     from flax import serialization
 
     with open(os.path.join(out_dir, "MyModel.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(params))
     with open(os.path.join(out_dir, "trainer_state.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(state))
+    # incremental CSVs so an interrupted run keeps its curves
+    if rewards_log is not None:
+        with open(os.path.join(out_dir, "reward_data.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["Step", "Reward"])
+            for j, r in enumerate(rewards_log):
+                w.writerow([j + 1, r])
+    if curve_rows is not None:
+        with open(os.path.join(out_dir, "temp_reward.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerows(curve_rows)
+    if loss_rows is not None:
+        with open(os.path.join(out_dir, "temp_loss.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerows(loss_rows)
 
 
 if __name__ == "__main__":
