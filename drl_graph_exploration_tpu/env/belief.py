@@ -323,17 +323,16 @@ def add_measurements(
         lm_i = mu_i[lr0:].reshape(l, 2)
 
     mu = mu_i
-    # Joseph-expanded update in HIGHEST precision (bf16 passes destroy
-    # positive-definiteness), followed by explicit symmetrisation — without
-    # it f32 asymmetry accumulates over long episodes and the filter
-    # eventually diverges (observed at ~50 steps).
-    cov = (
-        cov
-        - jnp.matmul(k, pht.T, precision=prec)
-        - jnp.matmul(pht, k.T, precision=prec)
-        + jnp.matmul(jnp.matmul(k, s_mat, precision=prec), k.T, precision=prec)
-    )
-    cov = 0.5 * (cov + cov.T)
+    # Joseph-expanded downdate K PHt^T + PHt K^T - K S K^T rewritten as
+    # C + C^T with C = K (PHt - 0.5 K S)^T: one (D,2L)x(2L,D) matmul instead
+    # of three, and the result is *bitwise* symmetric ((A B^T)^T == B A^T in
+    # IEEE since per-element products commute and the reduction order
+    # matches) — exact symmetry preservation without a symmetrisation pass.
+    # f32 asymmetry previously accumulated and diverged the filter at ~50
+    # steps.  HIGHEST precision: bf16 passes destroy positive-definiteness.
+    b_half = pht - 0.5 * jnp.matmul(k, s_mat, precision=prec)  # (D, 2L)
+    c_mat = jnp.matmul(k, b_half.T, precision=prec)  # (D, D)
+    cov = cov - c_mat - c_mat.T
 
     # ------------------------------------------- batched landmark insertion
     # (unconditional: under vmap a lax.cond lowers to select and would run
