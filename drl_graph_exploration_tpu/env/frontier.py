@@ -65,7 +65,6 @@ def candidate_mask(prob: jax.Array, config: ExplorationConfig) -> jax.Array:
     from .virtual_map import cell_centers
 
     centers = cell_centers(config)
-    ext = config.virtual_map.ext
     interior = (
         (centers[..., 0] >= config.environment.min_x)
         & (centers[..., 0] <= config.environment.max_x)
@@ -73,7 +72,6 @@ def candidate_mask(prob: jax.Array, config: ExplorationConfig) -> jax.Array:
         & (centers[..., 1] <= config.environment.max_y)
     )
     # reference: map bounds +/- ext == environment bounds (exploration_env.py:322-324)
-    del ext
     return free & (box >= 2.0) & interior
 
 

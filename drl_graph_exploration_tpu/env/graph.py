@@ -158,16 +158,16 @@ def graph_matrix(
     fro_dist = jnp.linalg.norm(frontiers.xy - robot_xy[None, :], axis=-1)
     fro_dir = diff_theta(frontiers.xy, robot_xy, robot_pose[2])
 
-    def scatter_col(feat_col, key_vals, fro_vals):
+    def scatter_col(key_vals, fro_vals):
         col = jnp.zeros((n_cap,))
         col = col.at[: p + l].set(jnp.where(key_valid, key_vals, 0.0))
         col = col.at[fro_slots].max(jnp.where(fro_valid, fro_vals, 0.0))
         return col
 
-    col0 = scatter_col(0, key_trace, fro_trace)
-    col1 = scatter_col(1, key_dist, fro_dist)
-    col2 = scatter_col(2, key_dir, fro_dir)
-    col3 = scatter_col(3, key_prob, fro_prob)
+    col0 = scatter_col(key_trace, fro_trace)
+    col1 = scatter_col(key_dist, fro_dist)
+    col2 = scatter_col(key_dir, fro_dir)
+    col3 = scatter_col(key_prob, fro_prob)
     # node type: -1 past keys, 0 at key_size-1, +1 frontiers
     node_ids = jnp.arange(n_cap)
     col4 = jnp.where(

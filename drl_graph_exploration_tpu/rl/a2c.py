@@ -78,7 +78,7 @@ def make_optimizer(rl: A2CConfig) -> optax.GradientTransformation:
 def _empty_buffer(rl: A2CConfig, n_nodes: int) -> A2CBuffer:
     t, b, e = rl.nstep, rl.n_envs, rl.edge_cap
     g = SparseGraph(
-        features=jnp.zeros((t, b, n_nodes, 5), jnp.float16),
+        features=jnp.zeros((t, b, n_nodes, 5), jnp.float32),
         edge_idx=jnp.zeros((t, b, e, 2), jnp.int32),
         edge_w=jnp.zeros((t, b, e), jnp.float16),
         key_size=jnp.zeros((t, b), jnp.int32),
@@ -232,6 +232,7 @@ def decision_step_impl(
         )(envs)
         f1, a1, v1 = jax.vmap(lambda g: rp.densify(g, n))(s1_sparse)
         last_value = critic.apply(critic_params, f1, a1, v1, dropout_key=k_boot)
+        last_value = jnp.nan_to_num(last_value, nan=0.0, posinf=0.0, neginf=0.0)
 
         def disc(carry, inp):
             ret = carry

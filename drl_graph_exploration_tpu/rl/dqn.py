@@ -127,6 +127,9 @@ def q_targets(
     has_frontier = mask.any(axis=-1)
     max_q = jnp.max(jnp.where(mask, q1, -jnp.inf), axis=-1)
     max_q = jnp.where(has_frontier, max_q, 0.0)
+    # belt-and-braces: a non-finite target would NaN the whole parameter
+    # tree through the squared loss (inf - inf)
+    max_q = jnp.nan_to_num(max_q, nan=0.0, posinf=0.0, neginf=0.0)
     return jnp.where(dones, rewards, rewards + rl.gamma * max_q)
 
 

@@ -17,7 +17,9 @@ import jax.numpy as jnp
 
 
 class SparseGraph(NamedTuple):
-    features: jax.Array  # (N, 5) f16
+    features: jax.Array  # (N, 5) f32 — covariance traces exceed the f16 range
+    # after long dead-reckoning stretches; f16 storage overflowed to inf and
+    # NaN-ed the learner through the target network
     edge_idx: jax.Array  # (E, 2) int32 upper-triangle indices
     edge_w: jax.Array  # (E,) f16
     key_size: jax.Array  # () int32
@@ -47,7 +49,7 @@ def sparsify(adjacency: jax.Array, features: jax.Array, key_size, fro_size, e_ca
     top, pos = jax.lax.top_k(vals, e_cap)
     idx = jnp.stack([iu[0][pos], iu[1][pos]], axis=-1).astype(jnp.int32)
     return SparseGraph(
-        features=features.astype(jnp.float16),
+        features=features.astype(jnp.float32),
         edge_idx=idx,
         edge_w=top.astype(jnp.float16),
         key_size=jnp.asarray(key_size, jnp.int32),
@@ -68,7 +70,7 @@ def densify(g: SparseGraph, n: int) -> tuple[jax.Array, jax.Array, jax.Array]:
 def init_replay(capacity: int, n_nodes: int, e_cap: int) -> ReplayState:
     def zg():
         return SparseGraph(
-            features=jnp.zeros((capacity, n_nodes, 5), jnp.float16),
+            features=jnp.zeros((capacity, n_nodes, 5), jnp.float32),
             edge_idx=jnp.zeros((capacity, e_cap, 2), jnp.int32),
             edge_w=jnp.zeros((capacity, e_cap), jnp.float16),
             key_size=jnp.zeros((capacity,), jnp.int32),
