@@ -75,3 +75,15 @@ def test_dqn_decision_steps():
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
     # env states stay finite
     assert bool(jnp.isfinite(state.envs.belief.cov).all())
+
+
+def test_replay_preserves_large_features():
+    """Covariance traces can exceed the float16 range after dead-reckoning;
+    the replay path must keep them finite (an f16 store overflowed to inf and
+    NaN-ed the learner through the target network)."""
+    n, e = 8, 8
+    feats = jnp.zeros((n, 5)).at[0, 0].set(2.0e5)
+    g = rp.sparsify(jnp.zeros((n, n)), feats, 3, 1, e)
+    f2, _, _ = rp.densify(g, n)
+    assert np.isfinite(np.asarray(f2)).all()
+    np.testing.assert_allclose(float(f2[0, 0]), 2.0e5, rtol=1e-6)
