@@ -94,6 +94,16 @@ class ExplorationEnv:
     def status(self) -> float:
         return float(vm.explored(self.state.vmap, self.config))
 
+    def relinearize(self) -> None:
+        """Exact Gauss-Newton re-solve of the stored factor graph (the
+        counterpart of iSAM2's relinearisation; see
+        ``belief.gauss_newton_refresh``).  Call at decision boundaries when
+        maximum covariance fidelity is needed; the recursive filter then
+        continues from the batch-MAP solution."""
+        self.state = self.state._replace(
+            belief=bel.gauss_newton_refresh(self.state.belief, self.config)
+        )
+
     # ------------------------------------------------------- decision layer
 
     def graph_matrix(self):
