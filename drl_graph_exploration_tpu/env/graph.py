@@ -164,6 +164,12 @@ def graph_matrix(
         col = col.at[fro_slots].max(jnp.where(fro_valid, fro_vals, 0.0))
         return col
 
+    # Finite-representability guard: covariance traces are unbounded above
+    # (dead-reckoning stretches, near-singular information cells) and a single
+    # inf feature NaNs any network trained on it.  1e6 is far beyond any
+    # informative value (sigma0 = 1 grid prior -> trace 2).
+    key_trace = jnp.minimum(jnp.nan_to_num(key_trace, nan=1e6, posinf=1e6), 1e6)
+    fro_trace = jnp.minimum(jnp.nan_to_num(fro_trace, nan=1e6, posinf=1e6), 1e6)
     col0 = scatter_col(key_trace, fro_trace)
     col1 = scatter_col(key_dist, fro_dist)
     col2 = scatter_col(key_dir, fro_dir)

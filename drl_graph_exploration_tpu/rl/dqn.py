@@ -269,6 +269,14 @@ def decision_step_impl(
         "explored": jnp.mean(
             jax.vmap(lambda e: vm.explored(e.vmap, config))(envs)
         ),
+        # health diagnostics
+        "feat_max": jnp.max(jnp.abs(obs.features)),
+        "belief_ok": jnp.mean(
+            jax.vmap(lambda e: jnp.isfinite(e.belief.mu).all())(envs).astype(
+                jnp.float32
+            )
+        ),
+        "reward_ok": jnp.mean(jnp.isfinite(r_t).astype(jnp.float32)),
     }
     if axis_name is not None:
         metrics = {k: jax.lax.pmean(v, axis_name) for k, v in metrics.items()}
