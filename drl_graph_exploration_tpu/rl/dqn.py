@@ -232,14 +232,37 @@ def decision_step_impl(
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
-        updates, opt_state = make_optimizer(rl).update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        # reject non-finite updates wholesale (and report where badness enters)
+        grad_ok = jnp.all(
+            jnp.array([jnp.isfinite(g).all() for g in jax.tree.leaves(grads)])
+        )
+        updates, new_opt = make_optimizer(rl).update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        params = jax.tree.map(
+            lambda new, old: jnp.where(grad_ok, new, old), new_params, params
+        )
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(grad_ok, new, old), new_opt, opt_state
+        )
+        diag = {
+            "y_ok": jnp.isfinite(y).all().astype(jnp.float32),
+            "batch_feat_ok": jnp.isfinite(batch.s.features).all().astype(jnp.float32),
+            "loss_ok": jnp.isfinite(loss).astype(jnp.float32),
+            "grad_ok": grad_ok.astype(jnp.float32),
+        }
+        return params, opt_state, loss, diag
 
     def no_update(args):
         params, opt_state = args
-        return params, opt_state, jnp.float32(0.0)
+        diag = {
+            "y_ok": jnp.float32(1.0),
+            "batch_feat_ok": jnp.float32(1.0),
+            "loss_ok": jnp.float32(1.0),
+            "grad_ok": jnp.float32(1.0),
+        }
+        return params, opt_state, jnp.float32(0.0), diag
 
-    params, opt_state, loss = jax.lax.cond(
+    params, opt_state, loss, upd_diag = jax.lax.cond(
         step_t1 > rl.observe, do_update, no_update, (state.params, state.opt_state)
     )
 
@@ -277,6 +300,7 @@ def decision_step_impl(
             )
         ),
         "reward_ok": jnp.mean(jnp.isfinite(r_t).astype(jnp.float32)),
+        **upd_diag,
     }
     if axis_name is not None:
         metrics = {k: jax.lax.pmean(v, axis_name) for k, v in metrics.items()}
