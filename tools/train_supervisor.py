@@ -1,0 +1,95 @@
+"""Training supervisor: failure detection + elastic restart.
+
+The reference restarts training subprocesses every epoch to firewall a C++
+memory leak (``train.py:82-84``); our functional trainer doesn't leak, but
+the tunneled TPU backend occasionally wedges a dispatch indefinitely.  This
+supervisor launches ``drl_graph_exploration_tpu.train``, watches the log for
+progress, and on stall (no new decision line for ``--stall-sec``) kills the
+run and resumes it from the last checkpoint (``trainer_state.msgpack``
+carries params, optimizer, replay, envs and counters).
+
+Usage: python tools/train_supervisor.py --out-dir runs/x -- [train args...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import subprocess
+import sys
+import time
+
+
+def launch(train_args, out_dir, resume, log_path):
+    cmd = [
+        sys.executable,
+        "-m",
+        "drl_graph_exploration_tpu.train",
+        *train_args,
+        "--out-dir",
+        out_dir,
+    ]
+    if resume:
+        cmd += ["--resume", resume]
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + ":" + env.get("PYTHONPATH", "")
+    log = open(log_path, "ab")
+    return subprocess.Popen(cmd, stdout=log, stderr=log, env=env)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--stall-sec", type=float, default=240.0)
+    ap.add_argument("--max-restarts", type=int, default=20)
+    ap.add_argument("train_args", nargs=argparse.REMAINDER,
+                    help="arguments after -- go to the trainer")
+    args = ap.parse_args()
+    train_args = [a for a in args.train_args if a != "--"]
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    log_path = os.path.join(args.out_dir, "train.log")
+    ckpt = os.path.join(args.out_dir, "trainer_state.msgpack")
+
+    restarts = 0
+    proc = launch(train_args, args.out_dir, None, log_path)
+    last_size = -1
+    last_progress = time.time()
+    while True:
+        time.sleep(10.0)
+        ret = proc.poll()
+        if ret is not None:
+            if ret == 0:
+                print("[supervisor] training finished", flush=True)
+                return
+            print(f"[supervisor] trainer exited {ret}", flush=True)
+        else:
+            size = os.path.getsize(log_path) if os.path.exists(log_path) else 0
+            if size != last_size:
+                last_size = size
+                last_progress = time.time()
+            if time.time() - last_progress < args.stall_sec:
+                continue
+            print(
+                f"[supervisor] stall > {args.stall_sec}s — killing pid {proc.pid}",
+                flush=True,
+            )
+            proc.send_signal(signal.SIGKILL)
+            proc.wait()
+
+        restarts += 1
+        if restarts > args.max_restarts:
+            print("[supervisor] restart budget exhausted", flush=True)
+            return
+        resume = ckpt if os.path.exists(ckpt) else None
+        print(f"[supervisor] restart #{restarts} (resume={bool(resume)})", flush=True)
+        time.sleep(5.0)
+        proc = launch(train_args, args.out_dir, resume, log_path)
+        last_progress = time.time()
+        last_size = -1
+
+
+if __name__ == "__main__":
+    main()
