@@ -141,6 +141,9 @@ class BeliefConfig:
     # EKF).  1 = plain EKF; 2+ stabilises loop closures after dead-reckoning
     # drift (large-innovation bearing relinearisation).
     iekf_iterations: int = 2
+    # Single-pass Pallas kernel for the covariance downdate (TPU only; the
+    # XLA path is the portable default and is bitwise-identical in structure)
+    use_pallas: bool = False
 
 
 @dataclass(frozen=True)

@@ -203,10 +203,48 @@ def _add_odometry_impl(
     p11 = jax.lax.dynamic_slice(prev_rows, (0, r_old), (3, 3))
     new_block = f @ p11 @ f.T + g @ q @ g.T
 
-    cov = belief.cov
-    cov = jax.lax.dynamic_update_slice(cov, new_rows, (r_new, 0))
-    cov = jax.lax.dynamic_update_slice(cov, new_rows.T, (0, r_new))
-    cov = jax.lax.dynamic_update_slice(cov, new_block, (r_new, r_new))
+    # The covariance write (3 new rows, 3 new cols, 3x3 corner) as ONE fused
+    # elementwise pass over cov.  Under vmap the slot offset is per-world, so
+    # dynamic_update_slice lowers to scatter and XLA runs several full (D, D)
+    # copy passes (~10ms/step at B=64 on v5e).  NOTE: no gathers — computed-
+    # index gathers producing (D, D) outputs lower to catastrophic scalar
+    # loops on TPU (measured 200x slower); with only 3 candidate rows, nested
+    # broadcasted selects fuse into a single read+write of cov.
+    idx = jnp.arange(d)
+    rr = idx - r_new  # (D,) signed offset into the new 3-row band
+
+    def expand3(sel, rows):  # rows: (3, D) -> (D, D) via row select
+        return jnp.where(
+            (sel == 0)[:, None],
+            rows[0][None, :],
+            jnp.where((sel == 1)[:, None], rows[1][None, :], rows[2][None, :]),
+        )
+
+    in_band = (rr >= 0) & (rr < 3)
+    row_exp = expand3(rr, new_rows)  # row i = new_rows[i - r_new]
+    col_exp = jnp.where(
+        (rr == 0)[None, :],
+        new_rows[0][:, None],
+        jnp.where((rr == 1)[None, :], new_rows[1][:, None], new_rows[2][:, None]),
+    )  # col j = new_rows[j - r_new]
+    blk_exp = jnp.where(
+        (rr == 0)[None, :],
+        expand3(rr, jnp.broadcast_to(new_block[:, 0:1], (3, d))),
+        jnp.where(
+            (rr == 1)[None, :],
+            expand3(rr, jnp.broadcast_to(new_block[:, 1:2], (3, d))),
+            expand3(rr, jnp.broadcast_to(new_block[:, 2:3], (3, d))),
+        ),
+    )
+    cov = jnp.where(
+        in_band[:, None] & in_band[None, :],
+        blk_exp,
+        jnp.where(
+            in_band[:, None],
+            row_exp,
+            jnp.where(in_band[None, :], col_exp, belief.cov),
+        ),
+    )
     mu = jax.lax.dynamic_update_slice(belief.mu, new, (r_new,))
 
     key_log = belief.key_log.at[belief.n_keys].set(t)
@@ -331,8 +369,13 @@ def add_measurements(
     # f32 asymmetry previously accumulated and diverged the filter at ~50
     # steps.  HIGHEST precision: bf16 passes destroy positive-definiteness.
     b_half = pht - 0.5 * jnp.matmul(k, s_mat, precision=prec)  # (D, 2L)
-    c_mat = jnp.matmul(k, b_half.T, precision=prec)  # (D, D)
-    cov = cov - c_mat - c_mat.T
+    if config.belief.use_pallas:
+        from ..ops.ekf_update import fused_downdate
+
+        cov = fused_downdate(cov, k, b_half)
+    else:
+        c_mat = jnp.matmul(k, b_half.T, precision=prec)  # (D, D)
+        cov = cov - c_mat - c_mat.T
 
     # ------------------------------------------- batched landmark insertion
     # (unconditional: under vmap a lax.cond lowers to select and would run
@@ -413,24 +456,39 @@ def _insert_landmarks(mu, cov, x, pr, meas, new_mask, config: ExplorationConfig)
     pose_rows = jax.lax.dynamic_slice(cov, (pr, 0), (3, d))  # (3, D)
     rows_new = jnp.einsum(
         "lij,jD->liD", jx, pose_rows, precision=jax.lax.Precision.HIGHEST
-    )  # (L, 2, D)
+    ).reshape(2 * l, d)  # (2L, D)
     p_xx = jax.lax.dynamic_slice(pose_rows, (0, pr), (3, 3))
     cross = jnp.einsum("aij,jk,bmk->aibm", jx, p_xx, jx)  # (L,2,L,2)
     noise_blk = jnp.einsum("lij,jk,lmk->lim", jz, r_noise, jz)  # (L, 2, 2)
+    blk = (
+        cross
+        + jnp.zeros((l, 2, l, 2)).at[jnp.arange(l), :, jnp.arange(l), :].set(noise_blk)
+    ).reshape(2 * l, 2 * l)
 
-    # overwrite rows/cols of new landmarks
+    # New-landmark insertion only touches the last 2L rows/cols — thin,
+    # static-offset writes (XLA updates them in place), NOT full-matrix
+    # passes.  Care in the (2L, 2L) corner: an old landmark's row must pick up
+    # the new landmarks' cross terms from rows_new TRANSPOSED (a naive
+    # row-then-column .set clobbers the (new row, old col) side with the
+    # stale placeholder — asymmetric and wrong; regression-tested).
     nm2 = jnp.repeat(new_mask, 2)  # (2L,)
-    lm_rows = jnp.where(nm2[:, None], rows_new.reshape(2 * l, d), cov[lr0:])
-    cov = cov.at[lr0:, :].set(lm_rows)
-    cov = cov.at[:, lr0:].set(lm_rows.T)
-    # lm-lm subblock: both-new pairs get the exact cross terms
-    both_new = (new_mask[:, None] & new_mask[None, :])[:, None, :, None]
-    lmlm = cov[lr0:, lr0:].reshape(l, 2, l, 2)
-    diag_add = jnp.zeros((l, 2, l, 2)).at[
-        jnp.arange(l), :, jnp.arange(l), :
-    ].set(noise_blk)
-    lmlm = jnp.where(both_new, cross + diag_add, lmlm)
-    cov = cov.at[lr0:, lr0:].set(lmlm.reshape(2 * l, 2 * l))
+    old_rows = cov[lr0:, :]  # (2L, D) static slice
+    sel_rows = jnp.where(nm2[:, None], rows_new, old_rows)  # (2L, D)
+    rn_corner = rows_new[:, lr0:]  # (2L, 2L)
+    both = nm2[:, None] & nm2[None, :]
+    corner = jnp.where(
+        both,
+        blk,
+        jnp.where(
+            nm2[:, None],
+            rn_corner,
+            jnp.where(nm2[None, :], rn_corner.T, old_rows[:, lr0:]),
+        ),
+    )
+    body = sel_rows[:, :lr0]  # (2L, D - 2L)
+    cov = cov.at[lr0:, :lr0].set(body)
+    cov = cov.at[:lr0, lr0:].set(body.T)
+    cov = cov.at[lr0:, lr0:].set(corner)
 
     mu = mu.at[lr0:].set(
         jnp.where(new_mask[:, None], lmp, mu[lr0:].reshape(l, 2)).reshape(2 * l)

@@ -202,7 +202,7 @@ def update_information(
     cx_flat = flat_centers[:, 0]
     cy_flat = flat_centers[:, 1]
 
-    chunk = 8
+    chunk = 32
     p = cap.max_poses
     n_chunks = -(-p // chunk)
     pad = n_chunks * chunk - p

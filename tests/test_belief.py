@@ -177,3 +177,48 @@ def test_add_measurements_batches_under_vmap():
     )
     out = jax.vmap(lambda _: bel.add_measurements(b, meas, CFG))(jnp.arange(3))
     np.testing.assert_allclose(out.mu[0], b.mu, atol=1e-6)
+
+
+def test_staged_insertion_cross_covariance_symmetric_and_correct():
+    """Regression: a landmark inserted while another is already in the state
+    must get symmetric, non-zero cross-covariance with the old landmark (a
+    row-then-column .set() insertion previously left the (new, old) side at
+    the stale placeholder zero)."""
+    key = jax.random.PRNGKey(7)
+    w = world.init_world(key, CFG)
+    lms = jnp.zeros_like(w.landmarks)
+    lms = lms.at[0].set(w.pose[:2] + jnp.array([3.0, 0.5]))   # visible at start
+    lms = lms.at[1].set(w.pose[:2] + jnp.array([30.0, 0.0]))  # out of range
+    lvalid = jnp.zeros_like(w.landmark_valid).at[0].set(True).at[1].set(True)
+    w = w._replace(landmarks=lms, landmark_valid=lvalid)
+
+    b = bel.init_belief(w.pose, CFG)
+    m0 = world.measure(w, jax.random.PRNGKey(100), CFG)
+    assert bool(m0.valid[0]) and not bool(m0.valid[1])
+    b = bel.add_measurements(b, m0, CFG)
+
+    # move landmark 1 into range for the second observation (simulating
+    # driving toward it without modelling details we don't need here)
+    w = w._replace(landmarks=w.landmarks.at[1].set(w.pose[:2] + jnp.array([2.0, -1.0])))
+    odom = jnp.array([0.5, 0.0, 0.1])
+    km, ks = jax.random.split(jax.random.PRNGKey(200))
+    w, _ = world.move(w, odom, km, CFG)
+    b = bel.add_odometry(b, odom, CFG)
+    m1 = world.measure(w, ks, CFG)
+    assert bool(m1.valid[0]) and bool(m1.valid[1])  # old + new together
+    b = bel.add_measurements(b, m1, CFG)
+
+    cov = np.asarray(b.cov)
+    np.testing.assert_allclose(cov, cov.T, atol=1e-5)
+
+    p = CFG.capacity.max_poses
+    lr0 = 3 * p
+    cross_new_old = cov[lr0 + 2 : lr0 + 4, lr0 : lr0 + 2]  # (lm1, lm0)
+    cross_old_new = cov[lr0 : lr0 + 2, lr0 + 2 : lr0 + 4]
+    assert np.abs(cross_new_old).max() > 1e-6  # genuinely correlated
+    np.testing.assert_allclose(cross_new_old, cross_old_new.T, atol=1e-6)
+
+    # and the joint covariance agrees with the exact Gauss-Newton solve
+    gn = bel.gauss_newton_refresh(b, CFG)
+    gn_cross = np.asarray(gn.cov)[lr0 + 2 : lr0 + 4, lr0 : lr0 + 2]
+    np.testing.assert_allclose(cross_new_old, gn_cross, atol=2e-3)
