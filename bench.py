@@ -1,16 +1,25 @@
-"""Headline benchmark: batched env steps/sec including belief update.
+"""Headline benchmark: full-episode batched env throughput including belief
+update.
 
-Runs the full primitive-step stack (motion + measurement + EKF-SLAM smoother
-update + occupancy rebuild + information raster) for B worlds over K scanned
-steps on the default device (real TPU under the driver), at the reference's
-map-40 configuration and full fixed capacities.
+Simulates B parallel worlds through a complete map-40 episode — init,
+4-step initial scan, then 400 scripted primitive steps (the reference's
+map-40 evaluation cutoff, ``/root/reference/scripts/test.py:25-32``) — with
+the full per-step stack: motion + measurement + iterated-joint-EKF smoother
+update + occupancy rebuild + information raster.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+The episode runs through growing capacity buckets (``env/capacity.py``):
+the pose capacity starts small and the state is re-embedded into the next
+bucket as the trajectory grows, exactly as the library's episode drivers do.
+All bucket transfers are inside the timed region; compilation is not (one
+untimed warm-up episode).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline relative to the 10k steps/s/chip north-star target (BASELINE.md).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -22,53 +31,88 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__fi
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from drl_graph_exploration_tpu.config import ExplorationConfig
+from drl_graph_exploration_tpu.env import capacity as cp
 from drl_graph_exploration_tpu.env import exploration_env as ee
 
 B = int(os.environ.get("BENCH_B", 64))
-K = int(os.environ.get("BENCH_K", 64))
+K = int(os.environ.get("BENCH_K", 400))  # primitive steps after the initial scan
 TARGET = 10_000.0
+# pose-capacity buckets; every D = 3P + 2L is a multiple of 128
+BUCKETS = [160, 288, 416]
+
+
+def build(base: ExplorationConfig):
+    use_pallas = jax.default_backend() not in ("cpu",)
+    belief = dataclasses.replace(base.belief, use_pallas=use_pallas)
+    base = dataclasses.replace(base, belief=belief)
+    cfgs = {p: cp.with_max_poses(base, p) for p in BUCKETS}
+    init_fns = {
+        p: jax.jit(jax.vmap(lambda k, c=cfgs[p]: ee._init_once(k, c)))
+        for p in BUCKETS[:1]
+    }
+    step_fns = {
+        p: jax.jit(
+            jax.vmap(lambda st, od, c=cfgs[p]: ee.env_step(st, od, c)),
+            donate_argnums=0,
+        )
+        for p in BUCKETS
+    }
+    grow_fns = {
+        (a, b): jax.jit(
+            jax.vmap(lambda s, ca=cfgs[a], cb=cfgs[b]: cp.grow_state(s, ca, cb)),
+            donate_argnums=0,
+        )
+        for a, b in zip(BUCKETS, BUCKETS[1:])
+    }
+    return cfgs, init_fns, step_fns, grow_fns
+
+
+SCAN_ODOM = jnp.array([1.0, 1.0, jnp.pi / 2.0])
+CYCLE = jnp.array(
+    [[1.5, 0.0, 0.0], [1.5, 0.0, 0.0], [1.0, 0.5, 0.6], [1.5, 0.0, 0.0]]
+)
+
+
+def episode(seed: int, init_fns, step_fns, grow_fns):
+    """One full bucketed episode over B worlds; returns total steps taken."""
+    keys = jax.random.split(jax.random.PRNGKey(seed), B)
+    states = init_fns[BUCKETS[0]](keys)
+    sched = cp.BucketSchedule(BUCKETS, initial_poses=1)
+    steps = 0
+
+    def one_step(states, odom):
+        tr = sched.advance()
+        if tr is not None:
+            states = grow_fns[tr](states)
+        return step_fns[sched.current](states, jnp.tile(odom, (B, 1)))
+
+    for _ in range(4):  # the reference's 360-degree initial scan
+        states = one_step(states, SCAN_ODOM)
+        steps += 1
+    for i in range(K):
+        states = one_step(states, CYCLE[i % 4])
+        steps += 1
+    # sync: fetch a state-dependent scalar — on the tunneled TPU backend
+    # block_until_ready returns before remote execution finishes
+    float(jnp.sum(states.belief.mu))
+    return steps
 
 
 def main() -> None:
-    config = ExplorationConfig()  # map 40, full capacities
+    config = ExplorationConfig()  # reference map-40 settings
+    _, init_fns, step_fns, grow_fns = build(config)
 
-    keys = jax.random.split(jax.random.PRNGKey(0), B)
-    # _init_once (not the retrying reset) keeps the one-off compile small;
-    # the benched quantity is the steady-state step, not world generation.
-    init_fn = jax.jit(jax.vmap(lambda k: ee._init_once(k, config)))
-    states = jax.block_until_ready(init_fn(keys))
-
-    # One jitted batched step, driven from the host with donated state: XLA
-    # compile time for a K-step scan of the full env program is prohibitive,
-    # and this is the realistic (policy-in-the-loop) configuration anyway.
-    # Timing is synced by fetching a state-dependent scalar — on the tunneled
-    # TPU backend ``block_until_ready`` alone returns before execution
-    # finishes, which would inflate throughput ~1000x.
-    step_fn = jax.jit(
-        jax.vmap(lambda st, od: ee.env_step(st, od, config)), donate_argnums=0
-    )
-
-    # scripted odometry cycle: mostly forward, periodic turns
-    cycle = jnp.array(
-        [[1.5, 0.0, 0.0], [1.5, 0.0, 0.0], [1.0, 0.5, 0.6], [1.5, 0.0, 0.0]]
-    )
-    odoms = [jnp.tile(cycle[i % 4], (B, 1)) for i in range(K)]
-
-    # warmup/compile
-    states = step_fn(states, odoms[0])
-    float(jnp.sum(states.belief.mu))
+    episode(0, init_fns, step_fns, grow_fns)  # warm-up: compiles everything
 
     t0 = time.perf_counter()
-    for i in range(K):
-        states = step_fn(states, odoms[i])
-    float(jnp.sum(states.belief.mu))  # forces completion of the chain
+    steps = episode(1, init_fns, step_fns, grow_fns)
     dt = time.perf_counter() - t0
 
-    steps_per_sec = B * K / dt
+    steps_per_sec = B * steps / dt
     print(
         json.dumps(
             {
-                "metric": "batched_env_steps_per_sec",
+                "metric": "batched_env_steps_per_sec_full_episode",
                 "value": round(steps_per_sec, 1),
                 "unit": "env_steps/s/chip",
                 "vs_baseline": round(steps_per_sec / TARGET, 3),

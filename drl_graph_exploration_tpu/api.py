@@ -37,19 +37,29 @@ class ExplorationEnv:
         env_index: int = 0,
         test: bool = False,
         config: ExplorationConfig | None = None,
+        bucketed: bool = False,
     ):
+        """``bucketed=True`` runs the episode through growing pose-capacity
+        buckets (``env/capacity.py``): the belief starts in a small-capacity
+        configuration and is re-embedded into the next bucket as the
+        trajectory grows — bitwise-identical results, much cheaper early
+        steps (each bucket's functions compile once)."""
         self.config = (config or ExplorationConfig()).with_map_size(map_size)
         self.map_size = map_size
         self.env_index = env_index
         self.test = test
+        self.bucketed = bucketed
+        if bucketed:
+            from .env import capacity as cp
+
+            top = self.config.capacity.max_poses
+            self._buckets = [p for p in (160, 288, 416) if p < top] + [top]
+            self._cfgs = {
+                p: cp.with_max_poses(self.config, p) for p in self._buckets
+            }
+            self.config = self._cfgs[self._buckets[0]]
         self._rng = np.random.default_rng(None if not test else env_index)
-        self._reset_fn = jax.jit(lambda k: ee.reset(k, self.config))
-        self._step_fn = jax.jit(lambda s, o: ee.env_step(s, o, self.config))
-        self._obs_fn = jax.jit(lambda s: ee.observe(s, self.config))
-        self._acts_fn = jax.jit(lambda s, f: ee.actions_all_goals(s, f, self.config))
-        self._rew_fn = jax.jit(
-            lambda s, f, a: ee.rewards_all_goals(s, f, a, self.config)
-        )
+        self._bind_fns()
         self.loop_clo = False
         self.dist = 0.0
         # discrete action set for reg_out mode (exploration_env.py:46-54)
@@ -68,8 +78,50 @@ class ExplorationEnv:
 
     # ------------------------------------------------------------------ core
 
+    def _bind_fns(self) -> None:
+        """(Re)jit the per-config functions; cached per capacity bucket."""
+        key = self.config.capacity.max_poses
+        cache = getattr(self, "_fn_cache", None)
+        if cache is None:
+            cache = self._fn_cache = {}
+        if key not in cache:
+            config = self.config
+            cache[key] = {
+                "reset": jax.jit(lambda k: ee.reset(k, config)),
+                "step": jax.jit(lambda s, o: ee.env_step(s, o, config)),
+                "obs": jax.jit(lambda s: ee.observe(s, config)),
+                "acts": jax.jit(lambda s, f: ee.actions_all_goals(s, f, config)),
+                "rew": jax.jit(lambda s, f, a: ee.rewards_all_goals(s, f, a, config)),
+            }
+        fns = cache[key]
+        self._reset_fn = fns["reset"]
+        self._step_fn = fns["step"]
+        self._obs_fn = fns["obs"]
+        self._acts_fn = fns["acts"]
+        self._rew_fn = fns["rew"]
+
+    def _maybe_grow(self) -> None:
+        """Bucketed mode: grow the state before the pose count can fill the
+        current bucket (each primitive step adds exactly one pose)."""
+        if not self.bucketed:
+            return
+        cur = self.config.capacity.max_poses
+        idx = self._buckets.index(cur)
+        if idx + 1 >= len(self._buckets):
+            return
+        if int(self.state.belief.n_poses) + 1 >= cur:
+            from .env import capacity as cp
+
+            new_cfg = self._cfgs[self._buckets[idx + 1]]
+            self.state = cp.grow_state(self.state, self.config, new_cfg)
+            self.config = new_cfg
+            self._bind_fns()
+
     def reset(self) -> np.ndarray:
         seed = self.env_index if self.test else int(self._rng.integers(0, 2**31 - 1))
+        if self.bucketed:
+            self.config = self._cfgs[self._buckets[0]]
+            self._bind_fns()
         self.state = self._reset_fn(jax.random.PRNGKey(seed))
         self.dist = 0.0
         return self._get_obs()
@@ -84,6 +136,7 @@ class ExplorationEnv:
         if self.config.planner.reg_out and np.ndim(action) == 0:
             action = self._action_set[int(action)]
         odom = jnp.asarray(action, jnp.float32)
+        self._maybe_grow()
         self.state = self._step_fn(self.state, odom)
         self.dist = float(self.state.dist)
         return self._get_obs(), self.done(), {}

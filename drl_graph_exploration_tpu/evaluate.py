@@ -194,25 +194,40 @@ if __name__ == "__main__":
 # batched evaluation: all episodes advance in lockstep on the accelerator
 
 
+def eval_buckets(max_poses: int) -> list[int]:
+    """Pose-capacity buckets for episode drivers (D = 3P + 2L multiples of
+    128 where possible; top bucket = the configured capacity)."""
+    base = [160, 288, 416]
+    return [p for p in base if p < max_poses] + [max_poses]
+
+
 def run_batched(args, config, model, params, method: str):
     """Vectorised evaluation: every episode is one lane of a vmapped batch;
     each outer iteration runs one greedy decision + macro-action execution for
     all live episodes inside jit, writing per-step metrics into (B, T)
-    buffers at each lane's own step cursor."""
+    buffers at each lane's own step cursor.  Episodes run through growing
+    pose-capacity buckets (``env/capacity.py``) so early steps don't pay
+    full-capacity belief cost."""
     import jax
     import jax.numpy as jnp
 
+    from .env import capacity as cp
     from .env import exploration_env as ee
     from .rl.dqn import frontier_slot_mask
 
     b = args.episodes
-    n = config.capacity.max_nodes
     max_step = args.max_step or PLOT_MAX_STEP.get(int(args.map_size), 400)
+
+    buckets = eval_buckets(config.capacity.max_poses)
+    cfgs = {p: cp.with_max_poses(config, p) for p in buckets}
+    bucket_i = 0
+    config = cfgs[buckets[bucket_i]]
+    n = config.capacity.max_nodes
 
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(b))
     states = jax.jit(jax.vmap(lambda k: ee.reset(k, config)))(keys)
 
-    def decision(states, finished, metrics, cursors):
+    def decision(states, finished, metrics, cursors, *, config, n):
         obs, frontiers = jax.vmap(lambda s: ee.observe(s, config))(states)
         fmask = jax.vmap(lambda ks, fs: frontier_slot_mask(ks, fs, n))(
             obs.key_size, obs.fro_size
@@ -278,7 +293,14 @@ def run_batched(args, config, model, params, method: str):
         )
         return states, finished, metrics, cursors
 
-    decision_j = jax.jit(decision)
+    import functools
+
+    def make_decision(cfg):
+        f = functools.partial(decision, config=cfg, n=cfg.capacity.max_nodes)
+        return jax.jit(lambda s, fi, me, cu: f(s, fi, me, cu))
+
+    decision_j = make_decision(config)
+    grow_j = None
     finished = jnp.zeros((b,), bool)
     metrics = {
         "entropy": jnp.zeros((b, max_step)),
@@ -286,6 +308,8 @@ def run_batched(args, config, model, params, method: str):
         "maxunc": jnp.zeros((b, max_step)),
     }
     cursors = jnp.zeros((b,), jnp.int32)
+    init_poses = 5  # one prior pose + the 4-step initial scan in reset
+    macro_cap = config.capacity.max_macro_actions
     max_decisions = max_step  # every decision advances >= 1 step
     for d in range(max_decisions):
         states, finished, metrics, cursors = decision_j(
@@ -293,6 +317,21 @@ def run_batched(args, config, model, params, method: str):
         )
         done_n = int(finished.sum())
         cur_min = int(cursors.min())
+        cur_max = int(cursors.max())
+        # grow to the next bucket before any lane could fill this one
+        while (
+            bucket_i + 1 < len(buckets)
+            and init_poses + cur_max + macro_cap >= buckets[bucket_i]
+        ):
+            old_cfg = cfgs[buckets[bucket_i]]
+            bucket_i += 1
+            new_cfg = cfgs[buckets[bucket_i]]
+            states = jax.jit(
+                jax.vmap(lambda s: cp.grow_state(s, old_cfg, new_cfg))
+            )(states)
+            config = new_cfg
+            decision_j = make_decision(config)
+            print(f"grew capacity -> max_poses={buckets[bucket_i]}", flush=True)
         if d % 10 == 0:
             print(f"decision {d}: finished {done_n}/{b} min_steps {cur_min}",
                   flush=True)
