@@ -166,10 +166,14 @@ def graph_matrix(
 
     # Finite-representability guard: covariance traces are unbounded above
     # (dead-reckoning stretches, near-singular information cells) and a single
-    # inf feature NaNs any network trained on it.  1e6 is far beyond any
-    # informative value (sigma0 = 1 grid prior -> trace 2).
-    key_trace = jnp.minimum(jnp.nan_to_num(key_trace, nan=1e6, posinf=1e6), 1e6)
-    fro_trace = jnp.minimum(jnp.nan_to_num(fro_trace, nan=1e6, posinf=1e6), 1e6)
+    # huge feature overflows float32 in the Q-loss backward (two 1000-wide
+    # layers square the feature scale; a 1e6 trace produced sporadic NaN
+    # gradients with finite inputs).  1e3 is still ~500x beyond any
+    # informative value (sigma0 = 1 grid prior -> trace 2; the paper's max
+    # localisation uncertainty stays O(1)) — only already-diverged lanes hit
+    # the cap.
+    key_trace = jnp.minimum(jnp.nan_to_num(key_trace, nan=1e3, posinf=1e3), 1e3)
+    fro_trace = jnp.minimum(jnp.nan_to_num(fro_trace, nan=1e3, posinf=1e3), 1e3)
     col0 = scatter_col(key_trace, fro_trace)
     col1 = scatter_col(key_dist, fro_dist)
     col2 = scatter_col(key_dir, fro_dir)

@@ -111,12 +111,14 @@ def dp_decision_step(model, config: ExplorationConfig, rl: RLConfig, mesh: Mesh)
             )
             return st, metrics
 
+        # metric keys must match decision_step_impl's dict exactly — use the
+        # exported key list instead of hard-coding a stale copy
+        metric_specs = {k: P() for k in dqn.METRIC_KEYS}
         return jax.shard_map(
             local,
             mesh=mesh,
             in_specs=(specs,),
-            out_specs=(specs, jax.tree.map(lambda _: P(), {"reward": 0, "loss": 0,
-                       "epsilon": 0, "q_max": 0, "done_frac": 0, "explored": 0})),
+            out_specs=(specs, metric_specs),
             check_vma=False,
         )(state)
 

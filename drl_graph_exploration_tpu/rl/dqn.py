@@ -128,8 +128,12 @@ def q_targets(
     max_q = jnp.max(jnp.where(mask, q1, -jnp.inf), axis=-1)
     max_q = jnp.where(has_frontier, max_q, 0.0)
     # belt-and-braces: a non-finite target would NaN the whole parameter
-    # tree through the squared loss (inf - inf)
+    # tree through the squared loss (inf - inf); and a runaway target
+    # magnitude overflows f32 in the backward.  Rewards are normalised to
+    # [-1, 1] so the true Q scale is <= 1/(1-gamma) = 100; 1e3 is far outside
+    # the informative range.
     max_q = jnp.nan_to_num(max_q, nan=0.0, posinf=0.0, neginf=0.0)
+    max_q = jnp.clip(max_q, -1e3, 1e3)
     return jnp.where(dones, rewards, rewards + rl.gamma * max_q)
 
 
@@ -140,6 +144,15 @@ def dqn_loss(params, model, batch: Transition, y, rl: RLConfig, n: int, key):
     )  # (B, N)
     q_sel = jnp.take_along_axis(q, batch.action_node[:, None], axis=-1)[:, 0]
     return jnp.sum((q_sel - y) ** 2) / rl.batch
+
+
+# every metric decision_step_impl returns, in insertion order (parallel/dp.py
+# builds its shard_map out_specs from this — keep in sync with the dict below)
+METRIC_KEYS = (
+    "reward", "loss", "epsilon", "q_max", "done_frac", "explored",
+    "feat_max", "belief_ok", "reward_ok",
+    "y_ok", "batch_feat_ok", "loss_ok", "grad_ok",
+)
 
 
 def decision_step_impl(
@@ -223,33 +236,52 @@ def decision_step_impl(
     step_t1 = state.step_t + b * rl.world_size
 
     def do_update(args):
+        """``rl.updates_per_step`` sequential minibatch updates (the reference
+        performs one gradient update per *single-env* decision,
+        ``policy.py:131-181``; a batched step advances ``n_envs`` decisions,
+        so matching its update density needs ``updates_per_step = n_envs``)."""
+
+        def one_update(carry, k):
+            params, opt_state = carry
+            batch = rp.sample(new_replay, k, rl.batch)
+            y = q_targets(
+                state.target_params, model, batch.s1, batch.reward, batch.done, rl, n
+            )
+            loss, grads = jax.value_and_grad(dqn_loss)(
+                params, model, batch, y, rl, n, jax.random.fold_in(k_loss, k[0])
+            )
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+                loss = jax.lax.pmean(loss, axis_name)
+            # reject non-finite updates wholesale (report where badness enters)
+            grad_ok = jnp.all(
+                jnp.array([jnp.isfinite(g).all() for g in jax.tree.leaves(grads)])
+            )
+            updates, new_opt = make_optimizer(rl).update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            params = jax.tree.map(
+                lambda new, old: jnp.where(grad_ok, new, old), new_params, params
+            )
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(grad_ok, new, old), new_opt, opt_state
+            )
+            diag = {
+                "y_ok": jnp.isfinite(y).all().astype(jnp.float32),
+                "batch_feat_ok": jnp.isfinite(batch.s.features).all().astype(
+                    jnp.float32
+                ),
+                "loss_ok": jnp.isfinite(loss).astype(jnp.float32),
+                "grad_ok": grad_ok.astype(jnp.float32),
+            }
+            return (params, opt_state), (loss, diag)
+
         params, opt_state = args
-        batch = rp.sample(new_replay, k_sample, rl.batch)
-        y = q_targets(state.target_params, model, batch.s1, batch.reward, batch.done, rl, n)
-        loss, grads = jax.value_and_grad(dqn_loss)(
-            params, model, batch, y, rl, n, k_loss
+        keys = jax.random.split(k_sample, max(1, rl.updates_per_step))
+        (params, opt_state), (losses, diags) = jax.lax.scan(
+            one_update, (params, opt_state), keys
         )
-        if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            loss = jax.lax.pmean(loss, axis_name)
-        # reject non-finite updates wholesale (and report where badness enters)
-        grad_ok = jnp.all(
-            jnp.array([jnp.isfinite(g).all() for g in jax.tree.leaves(grads)])
-        )
-        updates, new_opt = make_optimizer(rl).update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        params = jax.tree.map(
-            lambda new, old: jnp.where(grad_ok, new, old), new_params, params
-        )
-        opt_state = jax.tree.map(
-            lambda new, old: jnp.where(grad_ok, new, old), new_opt, opt_state
-        )
-        diag = {
-            "y_ok": jnp.isfinite(y).all().astype(jnp.float32),
-            "batch_feat_ok": jnp.isfinite(batch.s.features).all().astype(jnp.float32),
-            "loss_ok": jnp.isfinite(loss).astype(jnp.float32),
-            "grad_ok": grad_ok.astype(jnp.float32),
-        }
+        loss = jnp.mean(losses)
+        diag = {k: jnp.min(v) for k, v in diags.items()}  # 0 if any update bad
         return params, opt_state, loss, diag
 
     def no_update(args):
@@ -302,6 +334,9 @@ def decision_step_impl(
         "reward_ok": jnp.mean(jnp.isfinite(r_t).astype(jnp.float32)),
         **upd_diag,
     }
+    assert set(metrics) == set(METRIC_KEYS), sorted(
+        set(metrics) ^ set(METRIC_KEYS)
+    )
     if axis_name is not None:
         metrics = {k: jax.lax.pmean(v, axis_name) for k, v in metrics.items()}
     return (

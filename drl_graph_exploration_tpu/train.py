@@ -47,6 +47,10 @@ def main(argv=None) -> None:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--replay", type=int, default=10000)
     ap.add_argument("--edge-cap", type=int, default=4096)
+    ap.add_argument("--updates-per-step", type=int, default=0,
+                    help="gradient updates per batched decision "
+                    "(0 = n_envs, matching the reference's one update per "
+                    "single-env decision)")
     ap.add_argument("--tensorboard", action="store_true",
                     help="also stream metrics to TensorBoard (reference parity)")
     args = ap.parse_args(argv)
@@ -70,6 +74,11 @@ def main(argv=None) -> None:
             CapacityConfig(), max_poses=args.max_poses
         ),
     )
+    if jax.default_backend() not in ("cpu",):
+        # single-pass Pallas covariance downdate on accelerators
+        config = dataclasses.replace(
+            config, belief=dataclasses.replace(config.belief, use_pallas=True)
+        )
     key = jax.random.PRNGKey(args.seed)
 
     reward_path = os.path.join(args.out_dir, "reward_data.csv")
@@ -96,6 +105,7 @@ def main(argv=None) -> None:
             batch=args.batch,
             replay_memory=args.replay,
             edge_cap=args.edge_cap,
+            updates_per_step=args.updates_per_step or args.n_envs,
         )
         state = dqn.init_dqn(key, model, config, rl)
         if args.resume:

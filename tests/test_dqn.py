@@ -87,3 +87,19 @@ def test_replay_preserves_large_features():
     f2, _, _ = rp.densify(g, n)
     assert np.isfinite(np.asarray(f2)).all()
     np.testing.assert_allclose(float(f2[0, 0]), 2.0e5, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_dqn_multiple_updates_per_step():
+    """updates_per_step > 1 runs that many minibatch updates per decision
+    (the reference's one-update-per-single-env-decision density)."""
+    rl = dataclasses.replace(RL, updates_per_step=3)
+    model = gnn.GCN()
+    state = dqn.init_dqn(jax.random.PRNGKey(1), model, CFG, rl)
+    state, _ = dqn.decision_step(state, model, CFG, rl)  # fills replay
+    p0 = jax.tree.leaves(state.params)[0]
+    state, m = dqn.decision_step(state, model, CFG, rl)
+    p1 = jax.tree.leaves(state.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["grad_ok"]) == 1.0
