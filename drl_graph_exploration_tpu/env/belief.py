@@ -54,18 +54,24 @@ class BeliefState(NamedTuple):
     prior_pose: jax.Array  # (3,)
     prior_info: jax.Array  # (3, 3) local-frame information
     odom_log: jax.Array  # (P, 3); row t = odom measurement of factor (t-1, t)
-    meas_pose: jax.Array  # (M,) int32
-    meas_lm: jax.Array  # (M,) int32
-    meas_z: jax.Array  # (M, 2) [bearing, range]
-    n_meas: jax.Array  # () int32
-    # --- derived bookkeeping ----------------------------------------------
-    pair_range: jax.Array  # (P, L) last measured range between pose t and lm j
-    pair_seen: jax.Array  # (P, L) bool
+    # Dense measurement log: each pose is current for exactly one step and a
+    # landmark is measured at most once per step, so factor (t, j) maps to a
+    # unique (P, L) slot — one row write per step instead of the flat-log
+    # scatter (batched scatters are serial on TPU).  pair_seen is the
+    # validity mask; meas_z[t, j] = [bearing, range].
+    meas_z: jax.Array  # (P, L, 2)
+    pair_seen: jax.Array  # (P, L) bool — measurement factor (t, j) exists
     key_log: jax.Array  # (P + L,) int32; pose t -> t, landmark j -> P + j
     n_keys: jax.Array  # () int32
     lm_key_pos: jax.Array  # (L,) int32, -1 if absent
     pose_key_pos: jax.Array  # (P,) int32
     core_mask: jax.Array  # (P,) bool
+
+    @property
+    def pair_range(self) -> jax.Array:
+        """(P, L) last measured range between pose t and landmark j (valid
+        where ``pair_seen``)."""
+        return self.meas_z[..., 1]
 
 
 # ---------------------------------------------------------------------------
@@ -122,7 +128,7 @@ def init_belief(pose0: jax.Array, config: ExplorationConfig) -> BeliefState:
     global parameterisation with ``Sigma_g = T^T Sigma_l T``.
     """
     cap = config.capacity
-    p, l, m, d = cap.max_poses, cap.max_landmarks, cap.max_measurements, cap.state_dim
+    p, l, d = cap.max_poses, cap.max_landmarks, cap.state_dim
     s = config.simulator
     prior_info = jnp.diag(
         jnp.array([1.0 / s.sigma_x0**2, 1.0 / s.sigma_y0**2, 1.0 / s.sigma_theta0**2])
@@ -144,11 +150,7 @@ def init_belief(pose0: jax.Array, config: ExplorationConfig) -> BeliefState:
         prior_pose=pose0,
         prior_info=prior_info,
         odom_log=jnp.zeros((p, 3)),
-        meas_pose=jnp.zeros((m,), jnp.int32),
-        meas_lm=jnp.zeros((m,), jnp.int32),
-        meas_z=jnp.zeros((m, 2)),
-        n_meas=jnp.int32(0),
-        pair_range=jnp.zeros((p, l)),
+        meas_z=jnp.zeros((p, l, 2)),
         pair_seen=jnp.zeros((p, l), bool),
         key_log=key_log,
         n_keys=jnp.int32(1),
@@ -264,6 +266,186 @@ def _add_odometry_impl(
 # measurement update
 
 
+def _gj_inverse(a: jax.Array) -> jax.Array:
+    """Inverse of an SPD (N, N) matrix by Gauss-Jordan elimination without
+    pivoting (safe for SPD: every leading principal minor is positive, so the
+    pivots never vanish).  N tiny elementwise steps — far cheaper on TPU than
+    the LAPACK-style blocked LU that ``jnp.linalg.solve`` lowers to, which is
+    latency-bound for small N (measured ~1.4 ms vs ~0.3 ms at N=32, B=64)."""
+    n = a.shape[-1]
+    aug = jnp.concatenate([a, jnp.eye(n, dtype=a.dtype)], axis=-1)
+
+    def pivot(i, aug):
+        prow = aug[i, :] / aug[i, i]
+        aug = aug - aug[:, i][:, None] * prow[None, :]
+        aug = aug.at[i, :].set(prow)
+        return aug
+
+    aug = jax.lax.fori_loop(0, n, pivot, aug)
+    return aug[:, n:]
+
+
+def _pht_vpu(c_pose: jax.Array, c_lm: jax.Array, hx_flat: jax.Array, hl: jax.Array) -> jax.Array:
+    """``Sigma H^T`` (D, 2L) with the tiny contraction dims (3 and 2) unrolled
+    into broadcast multiplies.  MXU dots over K<=3 at HIGHEST precision are
+    latency-bound 6-pass ops; unrolled, XLA fuses this into one VPU pass."""
+    d = c_pose.shape[0]
+    l = hl.shape[0]
+    pose_part = (
+        c_pose[:, 0][:, None] * hx_flat[None, :, 0]
+        + c_pose[:, 1][:, None] * hx_flat[None, :, 1]
+        + c_pose[:, 2][:, None] * hx_flat[None, :, 2]
+    )  # (D, 2L)
+    clm = c_lm.reshape(d, l, 2)
+    p0 = clm[:, :, 0] * hl[None, :, 0, 0] + clm[:, :, 1] * hl[None, :, 0, 1]
+    p1 = clm[:, :, 0] * hl[None, :, 1, 0] + clm[:, :, 1] * hl[None, :, 1, 1]
+    lm_part = jnp.stack([p0, p1], axis=-1).reshape(d, 2 * l)
+    return pose_part + lm_part
+
+
+def _smat_vpu(
+    pht_pose: jax.Array, pht_lm: jax.Array, hx_flat: jax.Array, hl: jax.Array, r_diag: jax.Array
+) -> jax.Array:
+    """``H Sigma H^T + R`` (2L, 2L), contractions unrolled as in ``_pht_vpu``."""
+    l = hl.shape[0]
+    s1 = (
+        hx_flat[:, 0][:, None] * pht_pose[0][None, :]
+        + hx_flat[:, 1][:, None] * pht_pose[1][None, :]
+        + hx_flat[:, 2][:, None] * pht_pose[2][None, :]
+    )  # (2L, 2L)
+    # hl (L,2,2) x pht_lm (L,2,2L): out[l,k,M] = sum_j hl[l,k,j] pht_lm[l,j,M]
+    s2 = (
+        hl[:, :, 0][:, :, None] * pht_lm[:, 0, :][:, None, :]
+        + hl[:, :, 1][:, :, None] * pht_lm[:, 1, :][:, None, :]
+    ).reshape(2 * l, 2 * l)
+    s_mat = s1 + s2 + jnp.diag(r_diag)
+    return 0.5 * (s_mat + s_mat.T)
+
+
+def _iekf_joint(
+    mu: jax.Array,
+    c_pose: jax.Array,
+    c_lm: jax.Array,
+    pr: jax.Array,
+    meas: Measurements,
+    upd_mask: jax.Array,
+    config: ExplorationConfig,
+):
+    """The iterated joint-EKF measurement update at pose row ``pr``.
+
+    A single EKF step overshoots on loop closures after dead-reckoning
+    drift (bearing linearisation invalid once the innovation spans tens of
+    degrees) — observed as filter divergence around the first long-range
+    re-observation.  The reference's iSAM2 effectively Gauss-Newton-iterates
+    the step's factor batch; we do the same with the iterated EKF:
+    x_{i+1} = x0 + K_i (z - h(x_i) - H_i (x0 - x_i)), gain from the prior
+    covariance, final covariance with the last linearisation.
+
+    Only the thin prior-covariance slices ``c_pose`` (D, 3) and ``c_lm``
+    (D, 2L) are consumed — the full matrix is never read here.  Returns
+    ``(mu_post, k, b_half)`` with ``b_half = PHt - 0.5 K S`` (see the
+    downdate notes at the call sites)."""
+    cap = config.capacity
+    l = cap.max_landmarks
+    s = config.sensor
+    lr0 = 3 * cap.max_poses
+    prec = jax.lax.Precision.HIGHEST
+
+    r_diag = jnp.where(
+        upd_mask[:, None],
+        jnp.array([s.bearing_noise, s.range_noise]) ** 2,
+        1.0,
+    ).reshape(2 * l)
+
+    def linearize(pose_i, lm_i):
+        hb, hr = se2.bearing_range(pose_i[None, :], lm_i)
+        hx, hl = se2.bearing_range_jacobians_global(pose_i[None, :], lm_i)
+        m3 = upd_mask[:, None, None]
+        hx = jnp.where(m3, hx, 0.0)
+        hl = jnp.where(m3, hl, 0.0)
+        nu = jnp.stack(
+            [se2.wrap_angle(meas.bearing - hb), meas.range - hr], axis=-1
+        )
+        nu = jnp.where(upd_mask[:, None], nu, 0.0).reshape(2 * l)
+        return hx, hl, nu
+
+    def gain(hx, hl):
+        hx_flat = hx.reshape(2 * l, 3)
+        pht = _pht_vpu(c_pose, c_lm, hx_flat, hl)  # (D, 2L) = Sigma H^T
+        pht_pose = jax.lax.dynamic_slice(pht, (pr, 0), (3, 2 * l))
+        pht_lm = pht[lr0:].reshape(l, 2, 2 * l)
+        s_mat = _smat_vpu(pht_pose, pht_lm, hx_flat, hl, r_diag)
+        s_inv = _gj_inverse(s_mat)
+        k = jnp.matmul(pht, s_inv, precision=prec)  # (D, 2L)
+        return pht, s_mat, k
+
+    x0_pose = jax.lax.dynamic_slice(mu, (pr,), (3,))
+    lm0 = mu[lr0:].reshape(l, 2)
+    pose_i, lm_i = x0_pose, lm0
+    hx = hl = nu = pht = s_mat = k = mu_i = None
+    n_iters = max(1, config.belief.iekf_iterations)
+    for _ in range(n_iters):
+        hx, hl, nu = linearize(pose_i, lm_i)
+        pht, s_mat, k = gain(hx, hl)
+        # H_i (x0 - x_i): sparse over the (pose, lm) entries
+        dp = x0_pose - pose_i
+        dl = lm0 - lm_i
+        corr = (
+            jnp.einsum("lij,j->li", hx, dp)
+            + jnp.einsum("lij,lj->li", hl, dl)
+        ).reshape(2 * l)
+        delta = k @ (nu - corr)  # (D,)
+        mu_i = mu + delta
+        pose_i = jax.lax.dynamic_slice(mu_i, (pr,), (3,))
+        lm_i = mu_i[lr0:].reshape(l, 2)
+
+    # Joseph-expanded downdate K PHt^T + PHt K^T - K S K^T rewritten as
+    # C + C^T with C = K (PHt - 0.5 K S)^T: one (D,2L)x(2L,D) matmul instead
+    # of three, and the result is *bitwise* symmetric ((A B^T)^T == B A^T in
+    # IEEE since per-element products commute and the reduction order
+    # matches) — exact symmetry preservation without a symmetrisation pass.
+    # f32 asymmetry previously accumulated and diverged the filter at ~50
+    # steps.  HIGHEST precision: bf16 passes destroy positive-definiteness.
+    b_half = pht - 0.5 * jnp.matmul(k, s_mat, precision=prec)  # (D, 2L)
+    return mu_i, k, b_half
+
+
+def _meas_bookkeeping(
+    belief: BeliefState,
+    t: jax.Array,
+    meas: Measurements,
+    new_mask: jax.Array,
+    config: ExplorationConfig,
+    valid: jax.Array | None = None,
+):
+    """Key-order and dense-factor-log updates of one measurement batch.
+    Returns the fields (meas_z, pair_seen, key_log, n_keys, lm_key_pos).
+    ``valid`` overrides ``meas.valid`` (used to freeze the step)."""
+    cap = config.capacity
+    l = cap.max_landmarks
+    if valid is None:
+        valid = meas.valid
+    # key order: new landmarks append in index order
+    new_off = jnp.cumsum(new_mask) - 1
+    key_pos = belief.n_keys + new_off
+    safe_pos = jnp.where(new_mask, key_pos, cap.max_poses + l)  # scatter-drop
+    key_log = jnp.zeros((belief.key_log.shape[0] + 1,), belief.key_log.dtype)
+    key_log = key_log.at[: belief.key_log.shape[0]].set(belief.key_log)
+    key_log = key_log.at[safe_pos].set(
+        jnp.where(new_mask, cap.max_poses + jnp.arange(l), 0)
+    )[: belief.key_log.shape[0]]
+    lm_key_pos = jnp.where(new_mask, key_pos, belief.lm_key_pos)
+    n_keys = belief.n_keys + jnp.sum(new_mask)
+
+    # dense factor log: one row write at pose t
+    z_row = jnp.stack([meas.bearing, meas.range], axis=-1)  # (L, 2)
+    meas_z = belief.meas_z.at[t].set(
+        jnp.where(valid[:, None], z_row, belief.meas_z[t])
+    )
+    pair_seen = belief.pair_seen.at[t].set(belief.pair_seen[t] | valid)
+    return meas_z, pair_seen, key_log, n_keys, lm_key_pos
+
+
 def add_measurements(
     belief: BeliefState, meas: Measurements, config: ExplorationConfig
 ) -> BeliefState:
@@ -282,93 +464,21 @@ def add_measurements(
     cap = config.capacity
     d = cap.state_dim
     l = cap.max_landmarks
-    s = config.sensor
     t = belief.n_poses - 1
     pr = 3 * t
     lr0 = 3 * cap.max_poses
+    prec = jax.lax.Precision.HIGHEST
 
     upd_mask = meas.valid & belief.lm_seen
     new_mask = meas.valid & ~belief.lm_seen
 
     x = jax.lax.dynamic_slice(belief.mu, (pr,), (3,))
-    mu, cov = belief.mu, belief.cov
-    prec = jax.lax.Precision.HIGHEST
-    z_stack = jnp.stack([meas.bearing, meas.range], axis=-1)  # (L, 2)
-    r_diag = jnp.where(
-        upd_mask[:, None],
-        jnp.array([s.bearing_noise, s.range_noise]) ** 2,
-        1.0,
-    ).reshape(2 * l)
+    cov = belief.cov
     c_pose = jax.lax.dynamic_slice(cov, (0, pr), (d, 3))  # (D, 3)
     c_lm = cov[:, lr0:]  # (D, 2L) — landmark block is contiguous
 
-    # -------------------------------------------- iterated joint EKF update
-    # A single EKF step overshoots on loop closures after dead-reckoning
-    # drift (bearing linearisation invalid once the innovation spans tens of
-    # degrees) — observed as filter divergence around the first long-range
-    # re-observation.  The reference's iSAM2 effectively Gauss-Newton-iterates
-    # the step's factor batch; we do the same with the iterated EKF:
-    # x_{i+1} = x0 + K_i (z - h(x_i) - H_i (x0 - x_i)), gain from the prior
-    # covariance, final covariance with the last linearisation.
-    def linearize(pose_i, lm_i):
-        hb, hr = se2.bearing_range(pose_i[None, :], lm_i)
-        hx, hl = se2.bearing_range_jacobians_global(pose_i[None, :], lm_i)
-        m3 = upd_mask[:, None, None]
-        hx = jnp.where(m3, hx, 0.0)
-        hl = jnp.where(m3, hl, 0.0)
-        nu = jnp.stack(
-            [se2.wrap_angle(meas.bearing - hb), meas.range - hr], axis=-1
-        )
-        nu = jnp.where(upd_mask[:, None], nu, 0.0).reshape(2 * l)
-        return hx, hl, nu
+    mu, k, b_half = _iekf_joint(belief.mu, c_pose, c_lm, pr, meas, upd_mask, config)
 
-    def gain(hx, hl):
-        hx_flat = hx.reshape(2 * l, 3)
-        pht = jnp.matmul(c_pose, hx_flat.T, precision=prec) + jnp.einsum(
-            "dlj,lkj->dlk", c_lm.reshape(d, l, 2), hl, precision=prec
-        ).reshape(d, 2 * l)  # (D, 2L) = Sigma H^T
-        pht_pose = jax.lax.dynamic_slice(pht, (pr, 0), (3, 2 * l))
-        pht_lm = pht[lr0:].reshape(l, 2, 2 * l)
-        s_mat = (
-            jnp.matmul(hx_flat, pht_pose, precision=prec)
-            + jnp.einsum("ljk,lkM->ljM", hl, pht_lm, precision=prec).reshape(
-                2 * l, 2 * l
-            )
-            + jnp.diag(r_diag)
-        )
-        s_mat = 0.5 * (s_mat + s_mat.T)
-        k = jnp.linalg.solve(s_mat, pht.T).T  # (D, 2L)
-        return pht, s_mat, k
-
-    x0_pose = x
-    lm0 = mu[lr0:].reshape(l, 2)
-    pose_i, lm_i = x0_pose, lm0
-    hx = hl = nu = pht = s_mat = k = None
-    n_iters = max(1, config.belief.iekf_iterations)
-    for _ in range(n_iters):
-        hx, hl, nu = linearize(pose_i, lm_i)
-        pht, s_mat, k = gain(hx, hl)
-        # H_i (x0 - x_i): sparse over the (pose, lm) entries
-        dp = x0_pose - pose_i
-        dl = lm0 - lm_i
-        corr = (
-            jnp.einsum("lij,j->li", hx, dp)
-            + jnp.einsum("lij,lj->li", hl, dl)
-        ).reshape(2 * l)
-        delta = k @ (nu - corr)  # (D,)
-        mu_i = belief.mu + delta
-        pose_i = jax.lax.dynamic_slice(mu_i, (pr,), (3,))
-        lm_i = mu_i[lr0:].reshape(l, 2)
-
-    mu = mu_i
-    # Joseph-expanded downdate K PHt^T + PHt K^T - K S K^T rewritten as
-    # C + C^T with C = K (PHt - 0.5 K S)^T: one (D,2L)x(2L,D) matmul instead
-    # of three, and the result is *bitwise* symmetric ((A B^T)^T == B A^T in
-    # IEEE since per-element products commute and the reduction order
-    # matches) — exact symmetry preservation without a symmetrisation pass.
-    # f32 asymmetry previously accumulated and diverged the filter at ~50
-    # steps.  HIGHEST precision: bf16 passes destroy positive-definiteness.
-    b_half = pht - 0.5 * jnp.matmul(k, s_mat, precision=prec)  # (D, 2L)
     if config.belief.use_pallas:
         from ..ops.ekf_update import fused_downdate
 
@@ -382,47 +492,176 @@ def add_measurements(
     # both branches anyway)
     mu, cov = _insert_landmarks(mu, cov, x, jnp.asarray(pr), meas, new_mask, config)
 
-    # ----------------------------------------------------------- bookkeeping
-    # key order: new landmarks append in index order
-    new_off = jnp.cumsum(new_mask) - 1
-    key_pos = belief.n_keys + new_off
-    safe_pos = jnp.where(new_mask, key_pos, cap.max_poses + l)  # scatter-drop
-    key_log = jnp.zeros((belief.key_log.shape[0] + 1,), belief.key_log.dtype)
-    key_log = key_log.at[: belief.key_log.shape[0]].set(belief.key_log)
-    key_log = key_log.at[safe_pos].set(
-        jnp.where(new_mask, cap.max_poses + jnp.arange(l), 0)
-    )[: belief.key_log.shape[0]]
-    lm_key_pos = jnp.where(new_mask, key_pos, belief.lm_key_pos)
-    n_keys = belief.n_keys + jnp.sum(new_mask)
-
-    # factor log: all valid measurements in index order
-    val_off = jnp.cumsum(meas.valid) - 1
-    midx = jnp.minimum(belief.n_meas + val_off, cap.max_measurements - 1)
-    midx = jnp.where(meas.valid, midx, cap.max_measurements)  # scatter-drop
-    pad = lambda a: jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0)
-    meas_pose = pad(belief.meas_pose).at[midx].set(t)[:-1]
-    meas_lm = pad(belief.meas_lm).at[midx].set(jnp.arange(l))[:-1]
-    meas_z = pad(belief.meas_z).at[midx].set(
-        jnp.stack([meas.bearing, meas.range], axis=-1)
-    )[:-1]
-    n_meas = jnp.minimum(
-        belief.n_meas + jnp.sum(meas.valid), cap.max_measurements
+    meas_z, pair_seen, key_log, n_keys, lm_key_pos = _meas_bookkeeping(
+        belief, t, meas, new_mask, config
     )
-
-    pair_range = belief.pair_range.at[t].set(
-        jnp.where(meas.valid, meas.range, belief.pair_range[t])
-    )
-    pair_seen = belief.pair_seen.at[t].set(belief.pair_seen[t] | meas.valid)
-
     return belief._replace(
         mu=mu,
         cov=cov,
         lm_seen=belief.lm_seen | new_mask,
-        meas_pose=meas_pose,
-        meas_lm=meas_lm,
         meas_z=meas_z,
-        n_meas=n_meas,
-        pair_range=pair_range,
+        pair_seen=pair_seen,
+        key_log=key_log,
+        n_keys=n_keys,
+        lm_key_pos=lm_key_pos,
+    )
+
+
+def step_update(
+    belief: BeliefState,
+    odom: jax.Array,
+    meas: Measurements,
+    config: ExplorationConfig,
+    core: bool | jax.Array = True,
+    enabled: bool | jax.Array = True,
+) -> BeliefState:
+    """Fused odometry + measurement update — one env step's whole belief
+    recursion (``add_measurements(add_odometry(b, odom), meas)``) with every
+    full-matrix covariance write coalesced into a SINGLE pass.
+
+    The separate functions each pay a full (D, D) read+write: the odometry
+    band write, the downdate, and the insertion (plus XLA materialising the
+    intermediate).  Here the odometry augmentation is computed on thin slices
+    only (the new pose rows are 3 x D), the IEKF gain reads thin slices of
+    the *augmented* matrix assembled from those rows, and the Pallas kernel
+    (``ops.ekf_update.fused_step_downdate``) applies band-write + downdate in
+    one read+write of ``cov``; landmark insertion then touches only the
+    static landmark block rows/cols.  Mathematically identical to the
+    sequential pair (same linearisation points, same update order).
+
+    At pose capacity (or ``enabled=False``) the whole step is an exact no-op,
+    implemented with masked/dropped writes rather than ``lax.cond`` — under
+    ``vmap`` a cond lowers to a select over every carried array, costing a
+    full extra pass over the (D, D) covariance."""
+    return _step_update_impl(belief, odom, meas, config, core, enabled)
+
+
+def _step_update_impl(
+    belief: BeliefState, odom: jax.Array, meas: Measurements, config: ExplorationConfig, core, enabled
+) -> BeliefState:
+    cap = config.capacity
+    d = cap.state_dim
+    l = cap.max_landmarks
+    c = config.control
+    lr0 = 3 * cap.max_poses
+    prec = jax.lax.Precision.HIGHEST
+
+    freeze = (belief.n_poses >= cap.max_poses) | ~jnp.asarray(enabled, bool)
+    t = jnp.minimum(belief.n_poses, cap.max_poses - 1)  # new pose index
+    r_old = 3 * (t - 1)
+    r_new = 3 * t
+    oob = jnp.int32(cap.max_poses + cap.max_landmarks + 1)  # dropped writes
+
+    # ---------------------------------------- odometry augmentation (thin)
+    prev = jax.lax.dynamic_slice(belief.mu, (r_old,), (3,))
+    new = se2.compose(prev, odom)
+    f, g = se2.odometry_jacobians_global(prev, odom)
+    q = jnp.diag(
+        jnp.array([c.translation_noise, c.translation_noise, c.rotation_noise]) ** 2
+    )
+    prev_rows = jax.lax.dynamic_slice(belief.cov, (r_old, 0), (3, d))  # (3, D)
+    # F @ prev_rows with the 3x3 contraction unrolled (VPU, fuses)
+    new_rows = jnp.stack(
+        [
+            f[i, 0] * prev_rows[0] + f[i, 1] * prev_rows[1] + f[i, 2] * prev_rows[2]
+            for i in range(3)
+        ]
+    )  # (3, D)
+    p11 = jax.lax.dynamic_slice(prev_rows, (0, r_old), (3, 3))
+    corner = f @ p11 @ f.T + g @ q @ g.T
+    corner = 0.5 * (corner + corner.T)  # stored once -> symmetric reads
+    new_rows = jax.lax.dynamic_update_slice(new_rows, corner, (0, r_new))
+    mu_aug = jnp.where(
+        freeze, belief.mu, jax.lax.dynamic_update_slice(belief.mu, new, (r_new,))
+    )
+
+    # ------------------------------- measurement update on thin aug slices
+    upd_mask = meas.valid & belief.lm_seen & ~freeze
+    new_mask = meas.valid & ~belief.lm_seen & ~freeze
+
+    c_pose = new_rows.T  # (D, 3) = aug cov columns at the new pose
+    # aug landmark columns: band-row select instead of a per-world-offset
+    # scatter (one fused pass over the thin (D, 2L) slice)
+    rr = jnp.arange(d, dtype=jnp.int32) - jnp.where(freeze, -(d + 8), r_new)
+    nr_lm = new_rows[:, lr0:]  # (3, 2L)
+    c_lm = jnp.where(
+        ((rr >= 0) & (rr < 3))[:, None],
+        jnp.where(
+            (rr == 0)[:, None],
+            nr_lm[0][None, :],
+            jnp.where((rr == 1)[:, None], nr_lm[1][None, :], nr_lm[2][None, :]),
+        ),
+        belief.cov[:, lr0:],
+    )  # (D, 2L)
+
+    mu_post, k, b_half = _iekf_joint(
+        mu_aug, c_pose, c_lm, r_new, meas, upd_mask, config
+    )
+
+    # ------------------------- ONE full-matrix pass: band write + downdate
+    if config.belief.use_pallas:
+        from ..ops.ekf_update import fused_step_downdate
+
+        nr8 = (
+            jnp.zeros((8, d), new_rows.dtype)
+            .at[:3]
+            .set(new_rows)
+            .at[3]
+            .set(rr.astype(new_rows.dtype))
+        )
+        cov = fused_step_downdate(belief.cov, nr8, k, b_half)
+    else:
+        idx = rr
+        in_band = (idx >= 0) & (idx < 3)
+
+        def expand3(sel, rows):  # rows: (3, D) -> (D, D) via row select
+            return jnp.where(
+                (sel == 0)[:, None],
+                rows[0][None, :],
+                jnp.where((sel == 1)[:, None], rows[1][None, :], rows[2][None, :]),
+            )
+
+        row_exp = expand3(idx, new_rows)
+        col_exp = jnp.where(
+            (idx == 0)[None, :],
+            new_rows[0][:, None],
+            jnp.where((idx == 1)[None, :], new_rows[1][:, None], new_rows[2][:, None]),
+        )
+        aug = jnp.where(
+            in_band[:, None],
+            row_exp,
+            jnp.where(in_band[None, :], col_exp, belief.cov),
+        )
+        c_mat = jnp.matmul(k, b_half.T, precision=prec)
+        cov = aug - c_mat - c_mat.T
+
+    # ------------------------------------------------------ insertion (thin)
+    mu_post, cov = _insert_landmarks(
+        mu_post, cov, new, jnp.asarray(r_new), meas, new_mask, config
+    )
+
+    # ----------------------------------------------------------- bookkeeping
+    # frozen steps write through out-of-bounds indices (scatter drops them)
+    tw = jnp.where(freeze, oob, t)
+    kw = jnp.where(freeze, jnp.int32(belief.key_log.shape[0]), belief.n_keys)
+    inc = jnp.where(freeze, 0, 1).astype(belief.n_poses.dtype)
+    key_log = belief.key_log.at[kw].set(t)
+    belief = belief._replace(
+        n_poses=belief.n_poses + inc,
+        odom_log=belief.odom_log.at[tw].set(odom),
+        key_log=key_log,
+        pose_key_pos=belief.pose_key_pos.at[tw].set(belief.n_keys),
+        n_keys=belief.n_keys + inc,
+        core_mask=belief.core_mask.at[tw].set(jnp.asarray(core, bool)),
+    )
+    meas_z, pair_seen, key_log, n_keys, lm_key_pos = _meas_bookkeeping(
+        belief, t, meas, new_mask, config, valid=meas.valid & ~freeze
+    )
+    return belief._replace(
+        mu=mu_post,
+        cov=cov,
+        lm_seen=belief.lm_seen | new_mask,
+        meas_z=meas_z,
         pair_seen=pair_seen,
         key_log=key_log,
         n_keys=n_keys,
@@ -454,8 +693,11 @@ def _insert_landmarks(mu, cov, x, pr, meas, new_mask, config: ExplorationConfig)
     r_noise = jnp.diag(jnp.array([s.bearing_noise, s.range_noise]) ** 2)
 
     pose_rows = jax.lax.dynamic_slice(cov, (pr, 0), (3, d))  # (3, D)
-    rows_new = jnp.einsum(
-        "lij,jD->liD", jx, pose_rows, precision=jax.lax.Precision.HIGHEST
+    # jx (L,2,3) @ pose_rows (3,D) with the 3-contraction unrolled (VPU)
+    rows_new = (
+        jx[:, :, 0, None] * pose_rows[0][None, None, :]
+        + jx[:, :, 1, None] * pose_rows[1][None, None, :]
+        + jx[:, :, 2, None] * pose_rows[2][None, None, :]
     ).reshape(2 * l, d)  # (2L, D)
     p_xx = jax.lax.dynamic_slice(pose_rows, (0, pr), (3, 3))
     cross = jnp.einsum("aij,jk,bmk->aibm", jx, p_xx, jx)  # (L,2,L,2)
@@ -520,13 +762,17 @@ def gauss_newton_refresh(
     reference's iSAM2 converges to.  O(D^3); intended for periodic use and
     as the test oracle for the EKF recursion."""
     cap = config.capacity
-    p, l, m_cap, d = cap.max_poses, cap.max_landmarks, cap.max_measurements, cap.state_dim
+    p, l, d = cap.max_poses, cap.max_landmarks, cap.state_dim
+    m_cap = p * l  # dense (pose, landmark) factor slots
+    meas_pose_flat = jnp.repeat(jnp.arange(p, dtype=jnp.int32), l)
+    meas_lm_flat = jnp.tile(jnp.arange(l, dtype=jnp.int32), p)
+    meas_z_flat = belief.meas_z.reshape(m_cap, 2)
     s = config.sensor
     c = config.control
 
     pose_valid = jnp.arange(p) < belief.n_poses
     odom_valid = (jnp.arange(p) >= 1) & (jnp.arange(p) < belief.n_poses)
-    meas_valid = jnp.arange(m_cap) < belief.n_meas
+    meas_valid = belief.pair_seen.reshape(m_cap)
 
     slot_valid = jnp.concatenate(
         [jnp.repeat(pose_valid, 3), jnp.repeat(belief.lm_seen, 2)]
@@ -604,10 +850,10 @@ def gauss_newton_refresh(
 
         # measurement factors
         def meas_terms(i):
-            t, j = belief.meas_pose[i], belief.meas_lm[i]
+            t, j = meas_pose_flat[i], meas_lm_flat[i]
             x = jax.lax.dynamic_slice(mu, (3 * t,), (3,))
             lmp = jax.lax.dynamic_slice(mu, (3 * p + 2 * j,), (2,))
-            z = belief.meas_z[i]
+            z = meas_z_flat[i]
             r = _meas_residual(x, lmp, z)
             jx = jax.jacfwd(lambda a: _meas_residual(a, lmp, z))(x)
             jl = jax.jacfwd(lambda a: _meas_residual(x, a, z))(lmp)
@@ -619,7 +865,7 @@ def gauss_newton_refresh(
         def add_meas(lam_rhs, args):
             lam, rhs = lam_rhs
             i, r, jx, jl, valid = args
-            t, j = belief.meas_pose[i], belief.meas_lm[i]
+            t, j = meas_pose_flat[i], meas_lm_flat[i]
             pr, lr = 3 * t, 3 * p + 2 * j
             jwx = jx.T @ w_meas
             jwl = jl.T @ w_meas

@@ -77,7 +77,7 @@ def _grow_belief(belief: BeliefState, old: CapacityConfig, new: CapacityConfig) 
         mu=mu,
         cov=cov,
         odom_log=jnp.pad(belief.odom_log, ((0, pad), (0, 0))),
-        pair_range=jnp.pad(belief.pair_range, ((0, pad), (0, 0))),
+        meas_z=jnp.pad(belief.meas_z, ((0, pad), (0, 0), (0, 0))),
         pair_seen=jnp.pad(belief.pair_seen, ((0, pad), (0, 0))),
         key_log=key_log,
         pose_key_pos=jnp.pad(belief.pose_key_pos, (0, pad)),

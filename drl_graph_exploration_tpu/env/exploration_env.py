@@ -116,6 +116,9 @@ def simulate(state: EnvState, odom: jax.Array, config: ExplorationConfig) -> Env
     measurement factors, belief update, raster rebuild."""
     # The reference checks the *odometry values* against the map bounds
     # (pyss2d.py:173-176) — a no-op for primitive actions but kept verbatim.
+    # The skip is implemented with masked writes, NOT lax.cond: under vmap a
+    # cond lowers to a select over every carried array (a full extra pass
+    # over the (D, D) covariance and the rasters).
     in_bounds = (
         (odom[0] > config.map_min_x)
         & (odom[0] < config.map_max_x)
@@ -123,36 +126,33 @@ def simulate(state: EnvState, odom: jax.Array, config: ExplorationConfig) -> Env
         & (odom[1] < config.map_max_y)
     )
 
-    def do(state):
-        km, ko, ks, kn = jax.random.split(state.rng, 4)
-        world, _ = wd.move(state.world, odom, km, config)
-        belief = bel.add_odometry(state.belief, odom, config)
+    km, ko, ks, kn = jax.random.split(state.rng, 4)
+    world, _ = wd.move(state.world, odom, km, config, valid=in_bounds)
 
-        # obstacle bookkeeping: a *separate* noisy measurement draw
-        # (pyss2d.py:182-197); with safe_distance = 0 no obstacle can occur.
-        obs_meas = wd.measure(world, ko, config)
-        sd = config.environment.safe_distance
-        known = state.belief.lm_seen
-        close = obs_meas.valid & (obs_meas.range < sd)
-        obstacle = jnp.where(
-            state.cleared, close.any(), (close & ~known).any()
-        )
-        cleared = jnp.where(obstacle, False, True)
+    # obstacle bookkeeping: a *separate* noisy measurement draw
+    # (pyss2d.py:182-197); with safe_distance = 0 no obstacle can occur.
+    obs_meas = wd.measure(world, ko, config)
+    sd = config.environment.safe_distance
+    known = state.belief.lm_seen
+    close = obs_meas.valid & (obs_meas.range < sd)
+    obstacle = jnp.where(state.cleared, close.any(), (close & ~known).any())
+    cleared = jnp.where(in_bounds, jnp.where(obstacle, False, True), state.cleared)
 
-        meas = wd.measure(world, ks, config)
-        belief = bel.add_measurements(belief, meas, config)
-        vmap_state = vm.update_probability(state.vmap, belief, config)
-        vmap_state = vm.update_information(vmap_state, belief, config)
-        return state._replace(
-            world=world,
-            belief=belief,
-            vmap=vmap_state,
-            rng=kn,
-            step=state.step + 1,
-            cleared=cleared,
-        )
-
-    return jax.lax.cond(in_bounds, do, lambda s: s, state)
+    meas = wd.measure(world, ks, config)
+    # fused odometry + measurement update: one full-matrix pass
+    belief = bel.step_update(state.belief, odom, meas, config, enabled=in_bounds)
+    # the rasters are pure rebuilds from the belief, so recomputing them on a
+    # skipped step reproduces the old values exactly — no select needed
+    vmap_state = vm.update_probability(state.vmap, belief, config)
+    vmap_state = vm.update_information(vmap_state, belief, config)
+    return state._replace(
+        world=world,
+        belief=belief,
+        vmap=vmap_state,
+        rng=jnp.where(in_bounds, kn, state.rng),
+        step=state.step + jnp.where(in_bounds, 1, 0),
+        cleared=cleared,
+    )
 
 
 def env_step(state: EnvState, odom: jax.Array, config: ExplorationConfig) -> EnvState:

@@ -50,37 +50,40 @@ def rollout_reward(
     config: ExplorationConfig,
 ) -> jax.Array:
     """Forked-state rollout of one macro-action sequence; reward =
-    utility(before) - utility(after) (``Planner2D.cpp:1416-1468``)."""
+    utility(before) - utility(after) (``Planner2D.cpp:1416-1468``).
+
+    Two TPU-native structural savings over the reference's per-step clone:
+
+    * invalid (padding) actions are masked no-ops, not ``lax.cond`` branches
+      (a cond under vmap selects over the whole forked covariance);
+    * the rasters are pure rebuilds of the belief, and only the *final*
+      utility is ever read — so the per-step raster updates the reference
+      performs inside ``simulations_reward`` collapse into ONE rebuild from
+      the final belief (bit-identical result, T times less raster work).
+    """
     aw = config.planner.angle_weight
     initial_u = calculate_utility(vmap_state, jnp.float32(0.0), config)
 
     def step(carry, inputs):
-        w, b, v, dist = carry
+        w, b, dist = carry
         odom, valid, k = inputs
         km, ks = jax.random.split(k)
-
-        def do(args):
-            w, b, v, dist = args
-            dist = dist + jnp.sqrt(
-                odom[0] ** 2 + odom[1] ** 2 + aw * odom[2] ** 2
-            )
-            w2, _ = wd.move(w, odom, km, config)
-            b2 = bel.add_odometry(b, odom, config)
-            meas = wd.measure(w2, ks, config)
-            b2 = bel.add_measurements(b2, meas, config)
-            v2 = vm.update_probability(v, b2, config)
-            v2 = vm.update_information(v2, b2, config)
-            return w2, b2, v2, dist
-
-        w, b, v, dist = jax.lax.cond(valid, do, lambda a: a, (w, b, v, dist))
-        return (w, b, v, dist), None
+        dist = dist + jnp.where(
+            valid, jnp.sqrt(odom[0] ** 2 + odom[1] ** 2 + aw * odom[2] ** 2), 0.0
+        )
+        w2, _ = wd.move(w, odom, km, config, valid=valid)
+        meas = wd.measure(w2, ks, config)
+        b2 = bel.step_update(b, odom, meas, config, enabled=valid)
+        return (w2, b2, dist), None
 
     keys = jax.random.split(key, actions.odoms.shape[0])
-    (w, b, v, dist), _ = jax.lax.scan(
+    (w, b, dist), _ = jax.lax.scan(
         step,
-        (world_state, belief, vmap_state, jnp.float32(0.0)),
+        (world_state, belief, jnp.float32(0.0)),
         (actions.odoms, actions.valid, keys),
     )
+    v = vm.update_probability(vmap_state, b, config)
+    v = vm.update_information(v, b, config)
     final_u = calculate_utility(v, dist, config)
     return initial_u - final_u
 

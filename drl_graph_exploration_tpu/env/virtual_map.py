@@ -43,7 +43,7 @@ from ..config import ExplorationConfig
 from ..geometry import se2
 from . import belief as bel
 from .belief import BeliefState
-from .world import measure_noiseless
+from .world import measure_noiseless, visible_noiseless
 
 LOGODDS_FREE = math.log(0.3 / 0.7)
 LOGODDS_OCCUPIED = math.log(0.7 / 0.3)
@@ -108,9 +108,9 @@ def update_probability(
     poses = bel.pose_mu(belief, config)  # (P, 3)
     pose_ok = (jnp.arange(cap.max_poses) < belief.n_poses) & belief.core_mask
 
-    _, _, vis = measure_noiseless(
+    vis = visible_noiseless(
         poses[:, None, None, :], centers[None, :, :, :], config, with_min_range=False
-    )  # (P, R, C)
+    )  # (P, R, C) — trig-free visibility; the hot (P x cells) sweep
     k = jnp.sum(vis & pose_ok[:, None, None], axis=0).astype(jnp.float32)
 
     logodds = jnp.maximum(MIN_LOGODDS, k * LOGODDS_FREE)
@@ -221,16 +221,22 @@ def update_information(
         qx = ct * dx + st * dy
         qy = -st * dx + ct * dy
         r2 = qx * qx + qy * qy
-        rr = jnp.sqrt(r2)
-        bearing = jnp.arctan2(qy, qx)
-        vis = (
-            (bearing < s.max_bearing)
-            & (bearing > s.min_bearing)
-            & (rr < s.max_range)
-            & (rr > s.min_range)
-        )
-        ir2 = 1.0 / jnp.where(r2 == 0, 1.0, r2)
-        ir = 1.0 / jnp.where(rr == 0, 1.0, rr)
+        # trig-free FoV test (see world.visible_noiseless); symmetric FoV is
+        # the live config, asymmetric falls back to the exact bearing.
+        if abs(s.min_bearing + s.max_bearing) <= 1e-12:
+            cb = math.cos(s.max_bearing)
+            if cb >= 0.0:
+                bearing_ok = (qx > 0) & (qx * qx > (cb * cb) * r2)
+            else:
+                bearing_ok = (qx >= 0) | (qx * qx < (cb * cb) * r2)
+            bearing_ok = bearing_ok | (r2 == 0)
+        else:
+            bearing = jnp.arctan2(qy, qx)
+            bearing_ok = (bearing < s.max_bearing) & (bearing > s.min_bearing)
+        vis = bearing_ok & (r2 < s.max_range**2) & (r2 > s.min_range**2)
+        # one rsqrt instead of sqrt + two divides
+        ir = jax.lax.rsqrt(jnp.where(r2 == 0, 1.0, r2))
+        ir2 = ir * ir
 
         # Hx rows (local frame): hb = (qy/r2, -qx/r2, -1), hr = (-qx/r, -qy/r, 0)
         hb1, hb2, hb3 = qy * ir2, -qx * ir2, -1.0

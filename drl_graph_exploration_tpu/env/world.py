@@ -20,6 +20,7 @@ Everything batches with ``jax.vmap`` over a leading world dimension.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -113,21 +114,37 @@ def init_world(key: jax.Array, config: ExplorationConfig) -> WorldState:
 
 
 def move(
-    world: WorldState, odom: jax.Array, key: jax.Array, config: ExplorationConfig
+    world: WorldState,
+    odom: jax.Array,
+    key: jax.Array,
+    config: ExplorationConfig,
+    valid: bool | jax.Array = True,
 ) -> tuple[WorldState, jax.Array]:
     """Execute one odometry step with control noise.  Returns the new world
     and the *noisy realised pose* (= ``ControlState.getPose()``, which the
     SLAM layer pairs with the noiseless commanded ``odom`` as the factor
-    measurement, ``/root/reference/src/em_exploration/SLAM2D.cpp:59-89``)."""
+    measurement, ``/root/reference/src/em_exploration/SLAM2D.cpp:59-89``).
+
+    ``valid=False`` makes the move an exact no-op via masked/dropped writes
+    (cheaper under ``vmap`` than a ``lax.cond``, which lowers to a select
+    over the whole state)."""
     c = config.control
+    v = jnp.asarray(valid, bool)
     sigmas = jnp.array([c.translation_noise, c.translation_noise, c.rotation_noise])
     noise = jax.random.normal(key, (3,)) * sigmas
     new_pose = se2.compose(se2.compose(world.pose, odom), noise)
-    idx = jnp.minimum(world.n_poses, config.capacity.max_poses - 1)
+    new_pose = jnp.where(v, new_pose, world.pose)
+    idx = jnp.where(
+        v,
+        jnp.minimum(world.n_poses, config.capacity.max_poses - 1),
+        config.capacity.max_poses + 1,  # out of bounds -> write dropped
+    )
     world = world._replace(
         pose=new_pose,
         trajectory=world.trajectory.at[idx].set(new_pose),
-        n_poses=jnp.minimum(world.n_poses + 1, config.capacity.max_poses),
+        n_poses=jnp.minimum(
+            world.n_poses + jnp.where(v, 1, 0), config.capacity.max_poses
+        ),
     )
     return world, new_pose
 
@@ -169,6 +186,45 @@ def measure_noiseless(
     if with_min_range:
         visible = visible & (rng > s.min_range)
     return bearing, rng, visible
+
+
+def visible_noiseless(
+    pose: jax.Array, points: jax.Array, config: ExplorationConfig, with_min_range: bool
+) -> jax.Array:
+    """Visibility ONLY — no transcendentals on the hot raster path.
+
+    For a symmetric field of view (``min_bearing == -max_bearing``, the
+    reference's live config) the bearing test ``|atan2(qy, qx)| < B`` is
+    equivalent to ``qx > cos(B) * r`` (cos is strictly decreasing on [0, pi]),
+    which needs no ``atan2``; squaring both sides removes the ``sqrt`` too.
+    ``r == 0`` maps to bearing 0 (visible under a symmetric FoV), matching
+    IEEE ``atan2(0, 0) == 0``.  Asymmetric FoVs fall back to the exact
+    bearing computation."""
+    s = config.sensor
+    if abs(s.min_bearing + s.max_bearing) > 1e-12:
+        _, _, vis = measure_noiseless(pose, points, config, with_min_range)
+        return vis
+    dx = points[..., 0] - pose[..., 0]
+    dy = points[..., 1] - pose[..., 1]
+    ct = jnp.cos(pose[..., 2])
+    st = jnp.sin(pose[..., 2])
+    qx = ct * dx + st * dy
+    qy = -st * dx + ct * dy
+    r2 = qx * qx + qy * qy
+    cb = math.cos(s.max_bearing)
+    # qx > cb * r  with  cb in (-1, 1]:
+    #   qx >= 0: holds iff r > 0 or cb <= 0... for cb <= 0 also qx==r==0 fails
+    #            the strict test; handle r == 0 -> bearing 0 -> visible.
+    #   qx <  0: requires cb < 0 and qx^2 < cb^2 r^2.
+    if cb >= 0.0:
+        bearing_ok = (qx > 0) & (qx * qx > (cb * cb) * r2)
+    else:
+        bearing_ok = (qx >= 0) | (qx * qx < (cb * cb) * r2)
+    bearing_ok = bearing_ok | (r2 == 0)
+    visible = bearing_ok & (r2 < s.max_range**2)
+    if with_min_range:
+        visible = visible & (r2 > s.min_range**2)
+    return visible
 
 
 # ---------------------------------------------------------------------------

@@ -61,9 +61,9 @@ def total_cost(mu, b, cfg):
         cost = cost + 0.5 * jnp.sum(w_od * r**2)
 
     w_m = 1.0 / jnp.array([s.bearing_noise, s.range_noise]) ** 2
-    for i in range(int(b.n_meas)):
-        t, j = int(b.meas_pose[i]), int(b.meas_lm[i])
-        r = bel._meas_residual(pm[t], lm[j], b.meas_z[i])
+    seen = jnp.argwhere(b.pair_seen)
+    for t, j in [(int(t), int(j)) for t, j in seen]:
+        r = bel._meas_residual(pm[t], lm[j], b.meas_z[t, j])
         cost = cost + 0.5 * jnp.sum(w_m * r**2)
     return cost
 
