@@ -34,7 +34,7 @@ from drl_graph_exploration_tpu.config import ExplorationConfig
 from drl_graph_exploration_tpu.env import capacity as cp
 from drl_graph_exploration_tpu.env import exploration_env as ee
 
-B = int(os.environ.get("BENCH_B", 64))
+B = int(os.environ.get("BENCH_B", 128))
 K = int(os.environ.get("BENCH_K", 400))  # primitive steps after the initial scan
 TARGET = 10_000.0
 # pose-capacity buckets; every D = 3P + 2L is a multiple of 128

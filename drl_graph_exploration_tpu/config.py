@@ -197,10 +197,20 @@ class ExplorationConfig:
             min_y=-map_size / 2,
             max_y=map_size / 2,
         )
-        sim = dataclasses.replace(
-            self.simulator, num_landmarks=int(map_size**2 * 0.005)
+        nl = int(map_size**2 * 0.005)
+        sim = dataclasses.replace(self.simulator, num_landmarks=nl)
+        cap = self.capacity
+        if nl > cap.max_landmarks:
+            # larger maps scatter more landmarks than the default capacity
+            # (map 60/80/100 -> 18/32/50); grow in lane-friendly multiples,
+            # plus one frontier slot per landmark anchor (+ robot)
+            new_l = -(-nl // 16) * 16
+            cap = dataclasses.replace(
+                cap, max_landmarks=new_l, max_frontiers=nl + 1
+            )
+        return dataclasses.replace(
+            self, environment=env, simulator=sim, capacity=cap
         )
-        return dataclasses.replace(self, environment=env, simulator=sim)
 
 
 def _getfloat(cp: ConfigParser, sec: str, opt: str, default: float) -> float:

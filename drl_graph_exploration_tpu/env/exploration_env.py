@@ -110,10 +110,23 @@ def reset(key: jax.Array, config: ExplorationConfig) -> EnvState:
 # primitive step
 
 
-def simulate(state: EnvState, odom: jax.Array, config: ExplorationConfig) -> EnvState:
+def simulate(
+    state: EnvState,
+    odom: jax.Array,
+    config: ExplorationConfig,
+    enabled: bool | jax.Array = True,
+    update_rasters: bool = True,
+) -> EnvState:
     """``SS2D.simulate`` (``pyss2d.py:171-206``) with ``core=True``: bounds
     quirk-check, move + odometry factor, obstacle bookkeeping, measure +
-    measurement factors, belief update, raster rebuild."""
+    measurement factors, belief update, raster rebuild.
+
+    ``enabled=False`` makes the whole step an exact masked no-op (used for
+    padded macro-action slots — cheaper than ``lax.cond`` under ``vmap``).
+    ``update_rasters=False`` skips the raster rebuild; because the rasters
+    are pure functions of the belief, a caller stepping several primitives
+    before reading them can rebuild once at the end with identical values
+    (see ``refresh_rasters``)."""
     # The reference checks the *odometry values* against the map bounds
     # (pyss2d.py:173-176) — a no-op for primitive actions but kept verbatim.
     # The skip is implemented with masked writes, NOT lax.cond: under vmap a
@@ -124,7 +137,7 @@ def simulate(state: EnvState, odom: jax.Array, config: ExplorationConfig) -> Env
         & (odom[0] < config.map_max_x)
         & (odom[1] > config.map_min_y)
         & (odom[1] < config.map_max_y)
-    )
+    ) & jnp.asarray(enabled, bool)
 
     km, ko, ks, kn = jax.random.split(state.rng, 4)
     world, _ = wd.move(state.world, odom, km, config, valid=in_bounds)
@@ -143,8 +156,10 @@ def simulate(state: EnvState, odom: jax.Array, config: ExplorationConfig) -> Env
     belief = bel.step_update(state.belief, odom, meas, config, enabled=in_bounds)
     # the rasters are pure rebuilds from the belief, so recomputing them on a
     # skipped step reproduces the old values exactly — no select needed
-    vmap_state = vm.update_probability(state.vmap, belief, config)
-    vmap_state = vm.update_information(vmap_state, belief, config)
+    vmap_state = state.vmap
+    if update_rasters:
+        vmap_state = vm.update_probability(vmap_state, belief, config)
+        vmap_state = vm.update_information(vmap_state, belief, config)
     return state._replace(
         world=world,
         belief=belief,
@@ -155,11 +170,37 @@ def simulate(state: EnvState, odom: jax.Array, config: ExplorationConfig) -> Env
     )
 
 
-def env_step(state: EnvState, odom: jax.Array, config: ExplorationConfig) -> EnvState:
+def refresh_rasters(state: EnvState, config: ExplorationConfig) -> EnvState:
+    """Rebuild both rasters from the current belief — the values a
+    per-primitive-step update would have produced (rebuilds are pure)."""
+    vmap_state = vm.update_probability(state.vmap, state.belief, config)
+    vmap_state = vm.update_information(vmap_state, state.belief, config)
+    return state._replace(vmap=vmap_state)
+
+
+def refresh_prob(state: EnvState, config: ExplorationConfig) -> EnvState:
+    """Rebuild only the occupancy-probability raster (enough for ``is_done``,
+    ``map_entropy`` and frontier detection; the information raster is only
+    consumed by the reward/planner objectives)."""
+    return state._replace(
+        vmap=vm.update_probability(state.vmap, state.belief, config)
+    )
+
+
+def env_step(
+    state: EnvState,
+    odom: jax.Array,
+    config: ExplorationConfig,
+    enabled: bool | jax.Array = True,
+    update_rasters: bool = True,
+) -> EnvState:
     """``ExplorationEnv.step`` (``exploration_env.py:98-105``): simulate one
     primitive odometry and accumulate traveled distance."""
-    state = simulate(state, odom, config)
-    return state._replace(dist=state.dist + jnp.sqrt(odom[0] ** 2 + odom[1] ** 2))
+    state = simulate(state, odom, config, enabled=enabled, update_rasters=update_rasters)
+    dist = jnp.where(
+        jnp.asarray(enabled, bool), jnp.sqrt(odom[0] ** 2 + odom[1] ** 2), 0.0
+    )
+    return state._replace(dist=state.dist + dist)
 
 
 def is_done(state: EnvState, config: ExplorationConfig) -> jax.Array:

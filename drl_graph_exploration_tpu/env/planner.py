@@ -278,23 +278,24 @@ def evaluate_chains(
             pose, v = inp
             prev = bel.current_pose(b, config)
             odom = se2.between(prev, pose)
-
-            def do(b):
-                b = bel.add_odometry(b, odom, config)
-                hb, hr = se2.bearing_range(pose[None, :], lm)
-                mvalid = (
-                    lm_seen
-                    & (hb < s.max_bearing)
-                    & (hb > s.min_bearing)
-                    & (hr < s.max_range)
-                    & (hr > s.min_range)
-                )
-                b = bel.add_measurements(
-                    b, Measurements(bearing=hb, range=hr, valid=mvalid), config
-                )
-                return b
-
-            return jax.lax.cond(v, do, lambda b: b, b), None
+            hb, hr = se2.bearing_range(pose[None, :], lm)
+            mvalid = (
+                lm_seen
+                & (hb < s.max_bearing)
+                & (hb > s.min_bearing)
+                & (hr < s.max_range)
+                & (hr > s.min_range)
+            )
+            # fused odometry+measurement update; masked no-op for padded
+            # chain slots (cheaper than lax.cond under vmap)
+            b = bel.step_update(
+                b,
+                odom,
+                Measurements(bearing=hb, range=hr, valid=mvalid),
+                config,
+                enabled=v,
+            )
+            return b, None
 
         b, _ = jax.lax.scan(step, belief, (chain, valid))
         algo = config.planner.algorithm

@@ -155,9 +155,10 @@ def main(argv=None) -> None:
 
     from .config import CapacityConfig, ExplorationConfig
 
+    base = ExplorationConfig().with_map_size(args.map_size)
     config = dataclasses.replace(
-        ExplorationConfig().with_map_size(args.map_size),
-        capacity=dataclasses.replace(CapacityConfig(), max_poses=args.max_poses),
+        base,
+        capacity=dataclasses.replace(base.capacity, max_poses=args.max_poses),
     )
     model = build_model(args.method, args.model)
     params = load_params(args, model, config)
@@ -257,11 +258,11 @@ def run_batched(args, config, model, params, method: str):
                 s, fin, met, cur = carry
                 od, v = inp
                 do_step = v & ~fin
-
-                def stepped(s):
-                    return ee.env_step(s, od, config)
-
-                s = jax.lax.cond(do_step, stepped, lambda s: s, s)
+                # masked no-op step; only the prob raster is consumed during
+                # evaluation (metrics/done/frontiers), so the information
+                # raster stays lazy
+                s = ee.env_step(s, od, config, enabled=do_step, update_rasters=False)
+                s = ee.refresh_prob(s, config)
                 done = ee.is_done(s, config)
                 entro = ee.map_entropy(s.vmap.prob, int(args.map_size))
                 lerr = ee.landmark_error(s, config)

@@ -202,10 +202,12 @@ def decision_step_impl(
     def run_env(env, odoms, valid):
         def body(e, inp):
             od, v = inp
-            return jax.lax.cond(v, lambda e: ee.env_step(e, od, config), lambda e: e, e), None
+            # masked no-op for padding slots; rasters rebuilt once after the
+            # scan (pure functions of the belief -> bit-identical)
+            return ee.env_step(e, od, config, enabled=v, update_rasters=False), None
 
         env, _ = jax.lax.scan(body, env, (odoms, valid))
-        return env
+        return ee.refresh_rasters(env, config)
 
     envs = jax.vmap(run_env)(envs, chosen.odoms, chosen.valid)
     done = jax.vmap(lambda e: ee.is_done(e, config))(envs) | no_frontier

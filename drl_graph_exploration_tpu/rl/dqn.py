@@ -213,11 +213,14 @@ def decision_step_impl(
     def run_env(env, odoms, valid):
         def body(e, inp):
             od, v = inp
-            e = jax.lax.cond(v, lambda e: ee.env_step(e, od, config), lambda e: e, e)
+            # masked no-op for padding slots (not lax.cond: full-state select
+            # under vmap); rasters rebuilt once after the scan — they are
+            # pure functions of the belief, so the result is bit-identical
+            e = ee.env_step(e, od, config, enabled=v, update_rasters=False)
             return e, None
 
         env, _ = jax.lax.scan(body, env, (odoms, valid))
-        return env
+        return ee.refresh_rasters(env, config)
 
     envs = jax.vmap(run_env)(envs, chosen.odoms, chosen.valid)
     done = jax.vmap(lambda e: ee.is_done(e, config))(envs) | no_frontier

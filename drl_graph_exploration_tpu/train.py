@@ -47,6 +47,10 @@ def main(argv=None) -> None:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--replay", type=int, default=10000)
     ap.add_argument("--edge-cap", type=int, default=4096)
+    ap.add_argument("--reward-chunk", type=int, default=0,
+                    help="parallel reward rollouts per goal chunk (0 = all "
+                         "goals in one chunk; memory = n_envs*chunk forked "
+                         "covariances)")
     ap.add_argument("--updates-per-step", type=int, default=0,
                     help="gradient updates per batched decision "
                     "(0 = n_envs, matching the reference's one update per "
@@ -68,17 +72,20 @@ def main(argv=None) -> None:
     from .rl import a2c, dqn
 
     os.makedirs(args.out_dir, exist_ok=True)
+    base = ExplorationConfig().with_map_size(args.map_size)
     config = dataclasses.replace(
-        ExplorationConfig().with_map_size(args.map_size),
-        capacity=dataclasses.replace(
-            CapacityConfig(), max_poses=args.max_poses
-        ),
+        base,
+        capacity=dataclasses.replace(base.capacity, max_poses=args.max_poses),
     )
     if jax.default_backend() not in ("cpu",):
         # single-pass Pallas covariance downdate on accelerators
         config = dataclasses.replace(
             config, belief=dataclasses.replace(config.belief, use_pallas=True)
         )
+    chunk = args.reward_chunk if args.reward_chunk > 0 else config.capacity.max_frontiers
+    config = dataclasses.replace(
+        config, planner=dataclasses.replace(config.planner, reward_goal_chunk=chunk)
+    )
     key = jax.random.PRNGKey(args.seed)
 
     reward_path = os.path.join(args.out_dir, "reward_data.csv")

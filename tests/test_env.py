@@ -125,3 +125,26 @@ def test_reset_batches_under_vmap():
     assert not np.allclose(
         np.asarray(states.world.landmarks[0]), np.asarray(states.world.landmarks[1])
     )
+
+
+def test_lazy_rasters_and_masked_steps_exact(state0):
+    """env_step with update_rasters=False + refresh_rasters == eager steps,
+    and enabled=False is an exact no-op (the decision loops rely on both)."""
+    odoms = [jnp.array([1.0, 0.0, 0.4]), jnp.array([1.2, 0.2, -0.3])]
+    lazy = state0
+    for i, od in enumerate(odoms * 2):
+        lazy = ee.env_step(lazy, od, CFG, enabled=(i != 2), update_rasters=False)
+    # eager trace: per-step rasters, step 2 skipped entirely
+    eager = state0
+    for i, od in enumerate(odoms * 2):
+        if i != 2:
+            eager = ee.env_step(eager, od, CFG)
+    lazy = ee.refresh_rasters(lazy, CFG)
+    np.testing.assert_allclose(np.asarray(lazy.belief.mu), np.asarray(eager.belief.mu), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lazy.belief.cov), np.asarray(eager.belief.cov), rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(lazy.vmap.prob), np.asarray(eager.vmap.prob))
+    np.testing.assert_array_equal(np.asarray(lazy.vmap.info), np.asarray(eager.vmap.info))
+    assert int(lazy.step) == int(eager.step)
+    # refresh_prob alone refreshes the probability raster
+    half = ee.refresh_prob(lazy._replace(vmap=state0.vmap), CFG)
+    np.testing.assert_array_equal(np.asarray(half.vmap.prob), np.asarray(eager.vmap.prob))

@@ -12,6 +12,11 @@ cfg = dataclasses.replace(
     ExplorationConfig().with_map_size(40.0),
     capacity=CapacityConfig(max_poses=128, max_landmarks=16, max_measurements=1024,
                             max_frontiers=17, max_macro_actions=34))
+cfg = dataclasses.replace(
+    cfg,
+    belief=dataclasses.replace(cfg.belief, use_pallas=True),
+    planner=dataclasses.replace(cfg.planner, reward_goal_chunk=17),
+)
 rl = dqn.RLConfig(n_envs=4, batch=8, replay_memory=512, observe=0, edge_cap=1024)
 model = gnn.GCN()
 t=time.time()

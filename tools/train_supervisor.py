@@ -43,6 +43,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--stall-sec", type=float, default=240.0)
+    ap.add_argument("--first-stall-sec", type=float, default=3600.0,
+                    help="stall window until the first decision line (cold "
+                         "XLA compiles are silent and can take >30 min)")
     ap.add_argument("--max-restarts", type=int, default=20)
     ap.add_argument("train_args", nargs=argparse.REMAINDER,
                     help="arguments after -- go to the trainer")
@@ -57,6 +60,7 @@ def main() -> None:
     proc = launch(train_args, args.out_dir, None, log_path)
     last_size = -1
     last_progress = time.time()
+    saw_progress = False
     while True:
         time.sleep(10.0)
         ret = proc.poll()
@@ -68,12 +72,15 @@ def main() -> None:
         else:
             size = os.path.getsize(log_path) if os.path.exists(log_path) else 0
             if size != last_size:
+                if size - max(last_size, 0) > 2048 or size > 8192:
+                    saw_progress = True  # real output, not just banners
                 last_size = size
                 last_progress = time.time()
-            if time.time() - last_progress < args.stall_sec:
+            window = args.stall_sec if saw_progress else args.first_stall_sec
+            if time.time() - last_progress < window:
                 continue
             print(
-                f"[supervisor] stall > {args.stall_sec}s — killing pid {proc.pid}",
+                f"[supervisor] stall > {window}s — killing pid {proc.pid}",
                 flush=True,
             )
             proc.send_signal(signal.SIGKILL)
@@ -89,6 +96,7 @@ def main() -> None:
         proc = launch(train_args, args.out_dir, resume, log_path)
         last_progress = time.time()
         last_size = -1
+        saw_progress = False
 
 
 if __name__ == "__main__":
