@@ -63,6 +63,16 @@ class VirtualMapConfig:
     # Use the Pallas VMEM-resident covariance-intersection fold kernel for the
     # information raster (TPU only; the XLA scan path is the portable default)
     use_pallas: bool = False
+    # Rows of the per-chunk stripe window for the information sweep (0 = full
+    # grid).  Consecutive poses are spatially adjacent (odometry steps are
+    # bounded by the planner's max edge length), so a chunk of poses only
+    # touches a narrow row band of the raster; the sweep then predicts/folds
+    # on a (stripe_rows, C) window instead of the whole grid.  The stripe
+    # must cover every chunk pose's sensor range: stripe_rows * resolution
+    # >= 2*max_range + chunk_poses * max_step_translation + 2*resolution.
+    # Values match the full sweep up to shape-dependent FMA rounding
+    # (tested); keep 0 where golden raster parity matters.
+    stripe_rows: int = 0
 
 
 @dataclass(frozen=True)

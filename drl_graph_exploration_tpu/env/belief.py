@@ -811,42 +811,27 @@ def gauss_newton_refresh(
 
         ts = jnp.arange(p)
         r_o, j1_o, j2_o = jax.vmap(odom_terms)(jnp.maximum(ts, 1))
-        w = odom_valid[:, None, None]
-        # scatter 3x3 blocks
-        rows1 = 3 * (ts - 1)
-        rows2 = 3 * ts
 
-        def add_block(lam_rhs, args):
-            lam, rhs = lam_rhs
-            t, r, j1, j2, valid = args
-            jw1 = j1.T @ w_odom
-            jw2 = j2.T @ w_odom
-            r1, r2 = 3 * (t - 1), 3 * t
-
-            def upd(mat, rr, cc, blk):
-                cur = jax.lax.dynamic_slice(mat, (rr, cc), blk.shape)
-                return jax.lax.dynamic_update_slice(mat, cur + blk, (rr, cc))
-
-            z = jnp.where(valid, 1.0, 0.0)
-            lam = upd(lam, r1, r1, z * (jw1 @ j1))
-            lam = upd(lam, r1, r2, z * (jw1 @ j2))
-            lam = upd(lam, r2, r1, z * (jw2 @ j1))
-            lam = upd(lam, r2, r2, z * (jw2 @ j2))
-            rhs = jax.lax.dynamic_update_slice(
-                rhs,
-                jax.lax.dynamic_slice(rhs, (r1,), (3,)) - z * (jw1 @ r),
-                (r1,),
-            )
-            rhs = jax.lax.dynamic_update_slice(
-                rhs,
-                jax.lax.dynamic_slice(rhs, (r2,), (3,)) - z * (jw2 @ r),
-                (r2,),
-            )
-            return (lam, rhs), None
-
-        (lam, rhs), _ = jax.lax.scan(
-            add_block, (lam, rhs), (ts, r_o, j1_o, j2_o, odom_valid)
-        )
+        # vectorized block assembly: per-factor 3x3 blocks batched with
+        # einsum, then ONE scatter-add per block position (duplicate indices
+        # accumulate; invalid factors write through out-of-bounds rows,
+        # which scatter drops)
+        jw1 = jnp.einsum("tji,jk->tik", j1_o, w_odom)  # (P, 3, 3)
+        jw2 = jnp.einsum("tji,jk->tik", j2_o, w_odom)
+        b11 = jnp.einsum("tij,tjk->tik", jw1, j1_o)
+        b12 = jnp.einsum("tij,tjk->tik", jw1, j2_o)
+        b21 = jnp.einsum("tij,tjk->tik", jw2, j1_o)
+        b22 = jnp.einsum("tij,tjk->tik", jw2, j2_o)
+        v1 = -jnp.einsum("tij,tj->ti", jw1, r_o)
+        v2 = -jnp.einsum("tij,tj->ti", jw2, r_o)
+        off3 = jnp.arange(3)
+        rows1 = jnp.where(odom_valid, 3 * (ts - 1), d)[:, None] + off3[None, :]
+        rows2 = jnp.where(odom_valid, 3 * ts, d)[:, None] + off3[None, :]
+        lam = lam.at[rows1[:, :, None], rows1[:, None, :]].add(b11)
+        lam = lam.at[rows1[:, :, None], rows2[:, None, :]].add(b12)
+        lam = lam.at[rows2[:, :, None], rows1[:, None, :]].add(b21)
+        lam = lam.at[rows2[:, :, None], rows2[:, None, :]].add(b22)
+        rhs = rhs.at[rows1].add(v1).at[rows2].add(v2)
 
         # measurement factors
         def meas_terms(i):
@@ -862,32 +847,24 @@ def gauss_newton_refresh(
         ms = jnp.arange(m_cap)
         r_m, jx_m, jl_m = jax.vmap(meas_terms)(ms)
 
-        def add_meas(lam_rhs, args):
-            lam, rhs = lam_rhs
-            i, r, jx, jl, valid = args
-            t, j = meas_pose_flat[i], meas_lm_flat[i]
-            pr, lr = 3 * t, 3 * p + 2 * j
-            jwx = jx.T @ w_meas
-            jwl = jl.T @ w_meas
-            z = jnp.where(valid, 1.0, 0.0)
-
-            def upd(mat, rr, cc, blk):
-                cur = jax.lax.dynamic_slice(mat, (rr, cc), blk.shape)
-                return jax.lax.dynamic_update_slice(mat, cur + blk, (rr, cc))
-
-            lam = upd(lam, pr, pr, z * (jwx @ jx))
-            lam = upd(lam, pr, lr, z * (jwx @ jl))
-            lam = upd(lam, lr, pr, z * (jwl @ jx))
-            lam = upd(lam, lr, lr, z * (jwl @ jl))
-            rhs = jax.lax.dynamic_update_slice(
-                rhs, jax.lax.dynamic_slice(rhs, (pr,), (3,)) - z * (jwx @ r), (pr,)
-            )
-            rhs = jax.lax.dynamic_update_slice(
-                rhs, jax.lax.dynamic_slice(rhs, (lr,), (2,)) - z * (jwl @ r), (lr,)
-            )
-            return (lam, rhs), None
-
-        (lam, rhs), _ = jax.lax.scan(add_meas, (lam, rhs), (ms, r_m, jx_m, jl_m, meas_valid))
+        jwx = jnp.einsum("mji,jk->mik", jx_m, w_meas)  # (M, 3, 2)
+        jwl = jnp.einsum("mji,jk->mik", jl_m, w_meas)  # (M, 2, 2)
+        bxx = jnp.einsum("mij,mjk->mik", jwx, jx_m)  # (M, 3, 3)
+        bxl = jnp.einsum("mij,mjk->mik", jwx, jl_m)  # (M, 3, 2)
+        blx = jnp.einsum("mij,mjk->mik", jwl, jx_m)  # (M, 2, 3)
+        bll = jnp.einsum("mij,mjk->mik", jwl, jl_m)  # (M, 2, 2)
+        vx = -jnp.einsum("mij,mj->mi", jwx, r_m)
+        vl = -jnp.einsum("mij,mj->mi", jwl, r_m)
+        prows = jnp.where(meas_valid, 3 * meas_pose_flat, d)[:, None] + off3[None, :]
+        lrows = (
+            jnp.where(meas_valid, 3 * p + 2 * meas_lm_flat, d)[:, None]
+            + jnp.arange(2)[None, :]
+        )
+        lam = lam.at[prows[:, :, None], prows[:, None, :]].add(bxx)
+        lam = lam.at[prows[:, :, None], lrows[:, None, :]].add(bxl)
+        lam = lam.at[lrows[:, :, None], prows[:, None, :]].add(blx)
+        lam = lam.at[lrows[:, :, None], lrows[:, None, :]].add(bll)
+        rhs = rhs.at[prows].add(vx).at[lrows].add(vl)
 
         # inactive slots -> identity rows so the solve stays well-posed
         lam = jnp.where(

@@ -212,12 +212,12 @@ def update_information(
     )
     active_c = jnp.pad(active, (0, pad)).reshape(n_chunks, chunk)
 
-    def predict(pose, sigma_x):
+    def predict(pose, sigma_x, cx=cx_flat, cy=cy_flat):
         """Visibility + predicted-information planes (a, b, d) per cell."""
         x0, y0, th = pose[0], pose[1], pose[2]
         ct, st = jnp.cos(th), jnp.sin(th)
-        dx = cx_flat - x0
-        dy = cy_flat - y0
+        dx = cx - x0
+        dy = cy - y0
         qx = ct * dx + st * dy
         qy = -st * dx + ct * dy
         r2 = qx * qx + qy * qy
@@ -289,11 +289,9 @@ def update_information(
             w * d1 + (1 - w) * d2,
         )
 
-    def sweep(carry, inputs):
-        ia, ib, idd, updated = carry
-        pose_k, sigma_k, ok_k = inputs  # (chunk, ...)
-        vis_k, pa_k, pb_k, pd_k = jax.vmap(predict)(pose_k, sigma_k)
-        for i in range(chunk):
+    def fold_chunk(planes, vis_k, pa_k, pb_k, pd_k, ok_k, n):
+        ia, ib, idd, updated = planes
+        for i in range(n):
             take = vis_k[i] & ok_k[i]
             fa, fb, fd = ci_planes(ia, ib, idd, pa_k[i], pb_k[i], pd_k[i])
             fa = jnp.where(updated, fa, pa_k[i])
@@ -303,7 +301,81 @@ def update_information(
             ib = jnp.where(take, fb, ib)
             idd = jnp.where(take, fd, idd)
             updated = updated | take
-        return (ia, ib, idd, updated), None
+        return ia, ib, idd, updated
+
+    stripe = config.virtual_map.stripe_rows
+    if stripe and stripe < r:
+        # ----------------------------------------------------------------
+        # Striped sweep: a chunk of consecutive poses only touches a narrow
+        # row band (odometry steps are bounded), so predict/fold run on a
+        # (stripe, C) window sliced at a per-chunk row offset.  Bitwise
+        # identical to the full sweep as long as the stripe covers every
+        # chunk pose's sensor disc (see VirtualMapConfig.stripe_rows).
+        # ----------------------------------------------------------------
+        chunk_s = 8
+        n_chunks_s = -(-p // chunk_s)
+        pad_s = n_chunks_s * chunk_s - p
+        poses_cs = jnp.pad(poses, ((0, pad_s), (0, 0))).reshape(n_chunks_s, chunk_s, 3)
+        cov_cs = jnp.pad(cov_local, ((0, pad_s), (0, 0), (0, 0))).reshape(
+            n_chunks_s, chunk_s, 3, 3
+        )
+        active_cs = jnp.pad(active, (0, pad_s)).reshape(n_chunks_s, chunk_s)
+        res = config.virtual_map.resolution
+        cx_row = (jnp.arange(c, dtype=jnp.float32) + 0.5) * res + config.map_min_x
+
+        def sweep_stripe(carry, inputs):
+            ia, ib, idd, updated = carry  # (R, C) planes
+            pose_k, sigma_k, ok_k = inputs
+            py = jnp.where(ok_k, pose_k[:, 1], jnp.inf)
+            any_ok = ok_k.any()
+            ymin = jnp.where(any_ok, jnp.min(py), config.map_min_y)
+            row0 = jnp.clip(
+                jnp.floor((ymin - s.max_range - config.map_min_y) / res).astype(
+                    jnp.int32
+                ),
+                0,
+                r - stripe,
+            )
+            cy_s = (
+                row0.astype(jnp.float32)
+                + jnp.arange(stripe, dtype=jnp.float32)
+                + 0.5
+            ) * res + config.map_min_y
+            cxg = jnp.broadcast_to(cx_row[None, :], (stripe, c))
+            cyg = jnp.broadcast_to(cy_s[:, None], (stripe, c))
+            win = tuple(
+                jax.lax.dynamic_slice(x, (row0, 0), (stripe, c))
+                for x in (ia, ib, idd, updated)
+            )
+            vis_k, pa_k, pb_k, pd_k = jax.vmap(
+                lambda p_, s_: predict(p_, s_, cxg, cyg)
+            )(pose_k, sigma_k)
+            wa, wb, wd, wu = fold_chunk(win, vis_k, pa_k, pb_k, pd_k, ok_k, chunk_s)
+            ia = jax.lax.dynamic_update_slice(ia, wa, (row0, 0))
+            ib = jax.lax.dynamic_update_slice(ib, wb, (row0, 0))
+            idd = jax.lax.dynamic_update_slice(idd, wd, (row0, 0))
+            updated = jax.lax.dynamic_update_slice(updated, wu, (row0, 0))
+            return (ia, ib, idd, updated), None
+
+        init = (
+            jnp.full((r, c), 1.0 / s0**2),
+            jnp.zeros((r, c)),
+            jnp.full((r, c), 1.0 / s0**2),
+            jnp.zeros((r, c), bool),
+        )
+        (ia, ib, idd, _), _ = jax.lax.scan(
+            sweep_stripe, init, (poses_cs, cov_cs, active_cs)
+        )
+        info = jnp.stack(
+            [jnp.stack([ia, ib], -1), jnp.stack([ib, idd], -1)], -2
+        )
+        return vmap_state._replace(info=info)
+
+    def sweep(carry, inputs):
+        planes = carry
+        pose_k, sigma_k, ok_k = inputs  # (chunk, ...)
+        vis_k, pa_k, pb_k, pd_k = jax.vmap(predict)(pose_k, sigma_k)
+        return fold_chunk(planes, vis_k, pa_k, pb_k, pd_k, ok_k, chunk), None
 
     n_cells = r * c
     init = (

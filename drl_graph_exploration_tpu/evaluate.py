@@ -197,9 +197,18 @@ if __name__ == "__main__":
 
 def eval_buckets(max_poses: int) -> list[int]:
     """Pose-capacity buckets for episode drivers (D = 3P + 2L multiples of
-    128 where possible; top bucket = the configured capacity)."""
+    128 where possible; top bucket = the configured capacity).  Beyond the
+    map-40 ladder the buckets grow geometrically (~1.8x) so long episodes on
+    large maps (map-100 cutoff 4500 steps -> P~4600) don't pay full-capacity
+    O(D^2) cost from step 400 on."""
     base = [160, 288, 416]
-    return [p for p in base if p < max_poses] + [max_poses]
+    out = [p for p in base if p < max_poses]
+    p = base[-1]
+    while p * 2 < max_poses:
+        p = -(-int(p * 1.8) // 32) * 32
+        if p < max_poses:
+            out.append(p)
+    return out + [max_poses]
 
 
 def run_batched(args, config, model, params, method: str):

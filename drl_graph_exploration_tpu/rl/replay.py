@@ -58,11 +58,16 @@ def sparsify(adjacency: jax.Array, features: jax.Array, key_size, fro_size, e_ca
 
 
 def densify(g: SparseGraph, n: int) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """-> (features (N,5) f32, adjacency (N,N) f32, node_valid (N,))."""
+    """-> (features (N,5) f32, adjacency (N,N) f32, node_valid (N,)).
+
+    The edge list holds distinct upper-triangle positions (top_k picks
+    distinct entries), so the scatters are marked unique — without the hint
+    XLA must serialize them, and the batched replay densify dominated the
+    learner update."""
     w = g.edge_w.astype(jnp.float32)
     adj = jnp.zeros((n, n))
-    adj = adj.at[g.edge_idx[:, 0], g.edge_idx[:, 1]].max(w)
-    adj = adj.at[g.edge_idx[:, 1], g.edge_idx[:, 0]].max(w)
+    adj = adj.at[g.edge_idx[:, 0], g.edge_idx[:, 1]].max(w, unique_indices=True)
+    adj = adj.at[g.edge_idx[:, 1], g.edge_idx[:, 0]].max(w, unique_indices=True)
     node_valid = jnp.arange(n) < (g.key_size + g.fro_size)
     return g.features.astype(jnp.float32), adj, node_valid
 

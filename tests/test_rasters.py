@@ -205,3 +205,33 @@ def test_cov_trace():
     np.testing.assert_allclose(
         tr.reshape(-1), np.trace(cov, axis1=1, axis2=2), rtol=1e-4
     )
+
+
+def test_striped_information_sweep_matches_full():
+    """stripe_rows windows the CI sweep to a row band per pose chunk; with a
+    stripe covering every chunk pose's sensor disc the result matches the
+    full-grid sweep (up to shape-dependent FMA codegen:
+    --xla_allow_excess_precision makes the same expression round differently
+    at different shapes)."""
+    from drl_graph_exploration_tpu.env import exploration_env as ee
+
+    cfg = dataclasses.replace(
+        ExplorationConfig().with_map_size(20.0),
+        capacity=CapacityConfig(
+            max_poses=40, max_landmarks=4, max_measurements=256,
+            max_frontiers=5, max_macro_actions=10,
+        ),
+    )
+    state = ee.reset(jax.random.PRNGKey(2), cfg)
+    odoms = [jnp.array([1.2, 0.0, 0.5]), jnp.array([1.4, 0.2, -0.3])]
+    for i in range(20):
+        state = ee.env_step(state, odoms[i % 2], cfg, update_rasters=False)
+
+    full = vm.update_information(state.vmap, state.belief, cfg)
+    cfg_s = dataclasses.replace(
+        cfg, virtual_map=dataclasses.replace(cfg.virtual_map, stripe_rows=16)
+    )
+    striped = vm.update_information(state.vmap, state.belief, cfg_s)
+    np.testing.assert_allclose(
+        np.asarray(striped.info), np.asarray(full.info), rtol=2e-3, atol=2e-3
+    )

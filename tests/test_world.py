@@ -65,3 +65,25 @@ def test_measure_is_batched_consistent():
     batched = jax.vmap(lambda _: world.measure(w, key, CFG))(jnp.arange(4))
     np.testing.assert_allclose(batched.range[0], single.range, atol=1e-6)
     np.testing.assert_array_equal(batched.valid[0], single.valid)
+
+
+def test_large_map_landmark_capacity():
+    """Maps >40 scatter more landmarks than the default L=16 capacity; the
+    config must grow capacity so no landmark is silently dropped
+    (reference scatters 0.005*size^2 landmarks, exploration_env.py:399-407)."""
+    import dataclasses
+
+    from drl_graph_exploration_tpu.config import ExplorationConfig
+
+    for size, nl in [(40.0, 8), (60.0, 18), (80.0, 32), (100.0, 50)]:
+        cfg = ExplorationConfig().with_map_size(size)
+        assert cfg.simulator.num_landmarks == nl
+        assert cfg.capacity.max_landmarks >= nl
+        assert cfg.capacity.max_frontiers >= nl + 1
+
+    cfg = ExplorationConfig().with_map_size(60.0)
+    cfg = dataclasses.replace(
+        cfg, capacity=dataclasses.replace(cfg.capacity, max_poses=16)
+    )
+    w = world.init_world(jax.random.PRNGKey(0), cfg)
+    assert int(w.landmark_valid.sum()) == 18
