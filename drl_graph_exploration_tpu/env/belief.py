@@ -700,8 +700,19 @@ def _insert_landmarks(mu, cov, x, pr, meas, new_mask, config: ExplorationConfig)
         + jx[:, :, 2, None] * pose_rows[2][None, None, :]
     ).reshape(2 * l, d)  # (2L, D)
     p_xx = jax.lax.dynamic_slice(pose_rows, (0, pr), (3, 3))
-    cross = jnp.einsum("aij,jk,bmk->aibm", jx, p_xx, jx)  # (L,2,L,2)
-    noise_blk = jnp.einsum("lij,jk,lmk->lim", jz, r_noise, jz)  # (L, 2, 2)
+    # cross[a,i,b,m] = sum_jk jx[a,i,j] p_xx[j,k] jx[b,m,k], unrolled onto
+    # the VPU (tiny-K einsums lower to latency-bound MXU ops)
+    t_jp = sum(
+        jx[:, :, j, None] * p_xx[j][None, None, :] for j in range(3)
+    )  # (L, 2, 3)
+    cross = sum(
+        t_jp[:, :, None, None, k] * jx[None, None, :, :, k] for k in range(3)
+    )  # (L, 2, L, 2)
+    # noise_blk = jz diag(sb^2, sr^2) jz^T per landmark (R is diagonal)
+    noise_blk = (
+        r_noise[0, 0] * jz[:, :, None, 0] * jz[:, None, :, 0]
+        + r_noise[1, 1] * jz[:, :, None, 1] * jz[:, None, :, 1]
+    )  # (L, 2, 2)
     blk = (
         cross
         + jnp.zeros((l, 2, l, 2)).at[jnp.arange(l), :, jnp.arange(l), :].set(noise_blk)

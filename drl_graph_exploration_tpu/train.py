@@ -115,9 +115,7 @@ def main(argv=None) -> None:
             updates_per_step=args.updates_per_step or args.n_envs,
         )
         state = dqn.init_dqn(key, model, config, rl)
-        if args.resume:
-            with open(args.resume, "rb") as f:
-                state = serialization.from_bytes(state, f.read())
+        state = _try_resume(state, args.resume, serialization)
 
         for i in range(args.decisions):
             state, metrics = dqn.decision_step(state, model, config, rl)
@@ -132,9 +130,7 @@ def main(argv=None) -> None:
         critic = gnn.ValueGCN() if args.model == "GCN" else gnn.ValueGGNN()
         rl = a2c.A2CConfig(n_envs=args.n_envs)
         state = a2c.init_a2c(key, actor, critic, config, rl)
-        if args.resume:
-            with open(args.resume, "rb") as f:
-                state = serialization.from_bytes(state, f.read())
+        state = _try_resume(state, args.resume, serialization)
         for i in range(args.decisions):
             state, metrics = a2c.decision_step(state, actor, critic, config, rl)
             _log(metrics, state.step_t, rewards_log, curve_rows, i, args, t_start,
@@ -179,14 +175,43 @@ def _log(metrics, step_t, rewards_log, curve_rows, i, args, t_start,
               flush=True)
 
 
+def _write_atomic(path: str, data: bytes) -> None:
+    """tmp + rename so a kill mid-checkpoint can't truncate the file the
+    supervisor resumes from (observed: SIGKILL during _save left an
+    'incomplete input' msgpack and a restart loop)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _try_resume(state, resume_path, serialization):
+    """Resume from a checkpoint; a corrupt/truncated file (e.g. killed
+    mid-write before atomic saves existed) falls back to a fresh start
+    instead of crash-looping the supervisor."""
+    if not resume_path:
+        return state
+    try:
+        with open(resume_path, "rb") as f:
+            return serialization.from_bytes(state, f.read())
+    except Exception as e:  # noqa: BLE001 - any corrupt checkpoint
+        print(f"[train] resume failed ({e!r}); starting fresh", flush=True)
+        return state
+
+
 def _save(out_dir, state, params, i, rewards_log=None, curve_rows=None,
           loss_rows=None) -> None:
     from flax import serialization
 
-    with open(os.path.join(out_dir, "MyModel.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(params))
-    with open(os.path.join(out_dir, "trainer_state.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(state))
+    _write_atomic(
+        os.path.join(out_dir, "MyModel.msgpack"), serialization.to_bytes(params)
+    )
+    _write_atomic(
+        os.path.join(out_dir, "trainer_state.msgpack"),
+        serialization.to_bytes(state),
+    )
     # incremental CSVs so an interrupted run keeps its curves
     if rewards_log is not None:
         with open(os.path.join(out_dir, "reward_data.csv"), "w", newline="") as f:

@@ -14,6 +14,13 @@ if "host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the host has a single CPU and cold test-suite
+# compiles dominate wall time; cached, reruns drop from hours to minutes
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # Belief-covariance math is validated at high precision on CPU; the TPU path
 # uses float32 with HIGHEST matmul precision set in library code.
 jax.config.update("jax_default_matmul_precision", "highest")
