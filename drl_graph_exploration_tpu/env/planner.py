@@ -53,6 +53,10 @@ class RRTree(NamedTuple):
     parent: np.ndarray  # (N,)
     distance: np.ndarray  # (N,)
     n_nodes: int
+    # Dubins connect mode only: per-node integrated waypoint chains (list of
+    # (k, 3) arrays, aligned with node ids; entry 0 / non-dubins = None).
+    # In straight-edge mode an edge IS its endpoint, so this stays None.
+    waypoints: list | None = None
 
 
 MAX_TREE = 2048
@@ -70,31 +74,65 @@ def _sq_pose_distance(poses: np.ndarray, pose: np.ndarray, angle_weight: float):
     return rng2 + (angle_weight * bearing) ** 2
 
 
+_DUBINS_LIB_CACHE: dict = {}
+
+
+def _dubins_library(dub_config=None):
+    """Module-cached :class:`~.dubins.DubinsLibrary` (the reference builds it
+    once at planner construction, ``Planner2D.cpp:41-44``)."""
+    from .dubins import DubinsConfig, DubinsLibrary
+
+    key = dub_config or DubinsConfig()
+    if key not in _DUBINS_LIB_CACHE:
+        _DUBINS_LIB_CACHE[key] = DubinsLibrary(key)
+    return _DUBINS_LIB_CACHE[key]
+
+
 class HostPlanner:
     """Deterministic host-side RRT growth with the reference's control flow."""
 
-    def __init__(self, config: ExplorationConfig, seed: int = 0):
+    def __init__(self, config: ExplorationConfig, seed: int = 0, dubins_config=None):
         self.config = config
         rng = np.random.default_rng(seed)
         self.halton_count = int(rng.integers(0, 100000))
+        self.dubins_lib = (
+            _dubins_library(dubins_config)
+            if config.planner.dubins_control_model_enabled
+            else None
+        )
 
     def _sample(self, landmarks, lm_valid, safe_distance):
         """``sampleNode`` (``Planner2D.cpp:101-125``): Halton point in map
         bounds, theta = u * 2pi, rejected within ``safe_distance`` of any
-        estimated landmark."""
+        estimated landmark.  Dubins mode samples 2-D points with theta = 0
+        (``Planner2D.cpp:111-113``, qrng dim 2 at ``:41-42``)."""
         cfg = self.config
+        dim = 2 if self.dubins_lib is not None else 3
         for _ in range(1000):
-            u = np.asarray(qmc.halton(self.halton_count, 1, 3))[0]
+            u = np.asarray(qmc.halton(self.halton_count, 1, dim))[0]
             self.halton_count += 1
             x = cfg.map_min_x + u[0] * (cfg.map_max_x - cfg.map_min_x)
             y = cfg.map_min_y + u[1] * (cfg.map_max_y - cfg.map_min_y)
-            theta = u[2] * 2.0 * np.pi
+            theta = 0.0 if dim == 2 else u[2] * 2.0 * np.pi
             if lm_valid.any():
                 d = np.linalg.norm(landmarks[lm_valid] - np.array([x, y]), axis=1)
                 if (d < safe_distance).any():
                     continue
             return np.array([x, y, theta])
         return None
+
+    def _dubins_waypoints_safe(self, wps, landmarks, lm_valid, safe_distance):
+        """Dubins edge safety (``Planner2D.cpp:64-71``): every *interior*
+        waypoint must clear the landmarks (point check, not segment)."""
+        if abs(safe_distance) < 1e-3 or not lm_valid.any():
+            return True
+        interior = wps[1:-1]
+        if len(interior) == 0:
+            return True
+        dd = np.linalg.norm(
+            landmarks[lm_valid][None, :, :] - interior[:, None, :2], axis=-1
+        )
+        return not (dd < safe_distance).any()
 
     def _is_segment_safe(self, p1, p2, landmarks, lm_valid, safe_distance):
         """``isSafe(node, parent)`` (``Planner2D.cpp:58-86``): points every
@@ -129,7 +167,7 @@ class HostPlanner:
 
         cfg = self.config
         pl = cfg.planner
-        if native.AVAILABLE:
+        if native.AVAILABLE and self.dubins_lib is None:
             n, poses, parent, distance, self.halton_count = native.rrt_grow(
                 root_pose,
                 np.asarray(landmarks)[np.asarray(lm_valid)],
@@ -161,6 +199,9 @@ class HostPlanner:
         distance = np.zeros(MAX_TREE)
         poses[0] = root_pose
         n = 1
+        waypoints: list | None = (
+            [None] * MAX_TREE if self.dubins_lib is not None else None
+        )
 
         num_nodes = 0
         failed = 0
@@ -172,34 +213,56 @@ class HostPlanner:
             sample = self._sample(landmarks, lm_valid, safe)
             if sample is None:
                 return OptimizationResult.SAMPLING_FAILURE, RRTree(
-                    poses, parent, distance, n
+                    poses, parent, distance, n, waypoints
                 )
             # nearest + connect (Planner2D.cpp:179-276)
             p_idx = int(
                 np.argmin(_sq_pose_distance(poses[:n], sample, pl.angle_weight))
             )
             origin = poses[p_idx]
-            local = np.asarray(
-                se2.transform_to(jnp.asarray(origin), jnp.asarray(sample[:2]))
-            )
-            d = np.linalg.norm(local)
-            angle = np.arctan2(local[1], local[0])
-            step = min(d, pl.max_edge_length)
-            new_pose = np.asarray(
-                se2.compose(
-                    jnp.asarray(origin),
-                    jnp.array([step * np.cos(angle), step * np.sin(angle), angle]),
+            if self.dubins_lib is not None:
+                # Dubins connect mode (``connectNodeDubinsPath``,
+                # ``Planner2D.cpp:127-177``): the sampled pose is NOT clamped
+                # to max_edge_length; the first library primitive whose
+                # body-frame endpoint lands within tolerance of the sample
+                # provides the edge, else the sample is a connect failure.
+                res = self.dubins_lib.connect(origin, sample[:2])
+                if res is None or not self._dubins_waypoints_safe(
+                    res[0], landmarks, lm_valid, safe
+                ):
+                    failed += 1
+                    if failed > 1000:
+                        return OptimizationResult.SAMPLING_FAILURE, RRTree(
+                            poses, parent, distance, n, waypoints
+                        )
+                    continue
+                wps = res[0]
+                new_pose = wps[-1]
+                waypoints[n] = wps
+            else:
+                local = np.asarray(
+                    se2.transform_to(jnp.asarray(origin), jnp.asarray(sample[:2]))
                 )
-            )
-            if not self._is_segment_safe(
-                new_pose, origin, landmarks, lm_valid, safe
-            ):
-                failed += 1
-                if failed > 1000:
-                    return OptimizationResult.SAMPLING_FAILURE, RRTree(
-                        poses, parent, distance, n
+                d = np.linalg.norm(local)
+                angle = np.arctan2(local[1], local[0])
+                step = min(d, pl.max_edge_length)
+                new_pose = np.asarray(
+                    se2.compose(
+                        jnp.asarray(origin),
+                        jnp.array(
+                            [step * np.cos(angle), step * np.sin(angle), angle]
+                        ),
                     )
-                continue
+                )
+                if not self._is_segment_safe(
+                    new_pose, origin, landmarks, lm_valid, safe
+                ):
+                    failed += 1
+                    if failed > 1000:
+                        return OptimizationResult.SAMPLING_FAILURE, RRTree(
+                            poses, parent, distance, n, waypoints
+                        )
+                    continue
             failed = 0
             poses[n] = new_pose
             parent[n] = p_idx
@@ -228,32 +291,61 @@ class HostPlanner:
                     distance[n] = distance[n - 1] + gd
                     n += 1
                     return OptimizationResult.SUCCESS, RRTree(
-                        poses, parent, distance, n
+                        poses, parent, distance, n, waypoints
                     )
-        return OptimizationResult.SUCCESS, RRTree(poses, parent, distance, n)
+        return OptimizationResult.SUCCESS, RRTree(
+            poses, parent, distance, n, waypoints
+        )
+
+
+def node_chains(
+    tree: RRTree, node_ids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Padded root->node waypoint chains for an arbitrary node set (the
+    non-leaf-only EM planner evaluates EVERY tree node during growth,
+    ``Planner2D.cpp:1171-1177`` without LEAFONLY).  Dubins edges expand to
+    their integrated waypoints.  Returns (chains (K, T, 3), valid (K, T))."""
+    paths = []
+    for nid in node_ids:
+        path: list[np.ndarray] = []
+        node = int(nid)
+        depth = 0
+        while node > 0 and depth < MAX_DEPTH:
+            if tree.waypoints is not None and tree.waypoints[node] is not None:
+                path = list(tree.waypoints[node]) + path
+            else:
+                path.insert(0, tree.poses[node])
+            node = int(tree.parent[node])
+            depth += 1
+        paths.append(path)
+    t = max([MAX_DEPTH] + [len(p) for p in paths])
+    t = -(-t // MAX_DEPTH) * MAX_DEPTH
+    chains = np.zeros((max(len(paths), 1), t, 3))
+    valid = np.zeros((max(len(paths), 1), t), bool)
+    for li, path in enumerate(paths):
+        chains[li, : len(path)] = np.array(path)
+        valid[li, : len(path)] = True
+    return chains, valid
 
 
 def leaf_chains(tree: RRTree) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Extract padded root->leaf waypoint chains.
 
-    Returns (chains (L, MAX_DEPTH, 3), valid (L, MAX_DEPTH), leaf_ids (L,))."""
+    In Dubins mode each edge contributes its full integrated waypoint chain
+    (the reference's ``node->poses``, evaluated pose-by-pose in
+    ``updateNodeInformation_EM``); straight-edge mode contributes endpoints.
+
+    Returns (chains (L, T, 3), valid (L, T), leaf_ids (L,)) with
+    T = MAX_DEPTH (straight) or the longest expanded chain (Dubins),
+    bucketed to multiples of MAX_DEPTH for stable jit shapes."""
     n = tree.n_nodes
     is_parent = np.zeros(n, bool)
     pids = tree.parent[1:n]
     is_parent[pids[pids >= 0]] = True
     leaves = [i for i in range(1, n) if not is_parent[i]]
-    chains = np.zeros((max(len(leaves), 1), MAX_DEPTH, 3))
-    valid = np.zeros((max(len(leaves), 1), MAX_DEPTH), bool)
-    for li, leaf in enumerate(leaves):
-        path = []
-        node = leaf
-        while node > 0 and len(path) < MAX_DEPTH:
-            path.append(tree.poses[node])
-            node = int(tree.parent[node])
-        path = path[::-1]
-        chains[li, : len(path)] = np.array(path)
-        valid[li, : len(path)] = True
-    return chains, valid, np.array(leaves if leaves else [0])
+    ids = np.array(leaves if leaves else [0])
+    chains, valid = node_chains(tree, ids)
+    return chains, valid, ids
 
 
 @partial(jax.jit, static_argnums=(4,))
@@ -421,11 +513,57 @@ def rrt_plan(
 
 
 def optimize(
-    env_state, config: ExplorationConfig, seed: int = 0
+    env_state, config: ExplorationConfig, seed: int = 0, leaf_only: bool = True
 ) -> tuple[OptimizationResult, list[np.ndarray]]:
-    """``EMPlanner2D::optimize`` (``Planner2D.cpp:1130-1279``).  With
-    ``LEAFONLY`` (the reference's compiled configuration) the behaviour is
-    leaf-only evaluation == :func:`optimize2`; the post-failure
-    distance-weight retry loop upstream is unreachable (dead code after
-    ``return NO_SOLUTION``, ``Planner2D.cpp:1217-1275``)."""
-    return optimize2(env_state, config, seed)
+    """``EMPlanner2D::optimize`` (``Planner2D.cpp:1130-1279``).
+
+    The reference compiles with ``LEAFONLY`` (its live configuration), where
+    ``optimize`` degenerates to leaf-only evaluation == :func:`optimize2`;
+    the post-failure distance-weight retry loop upstream is unreachable (dead
+    code after ``return NO_SOLUTION``, ``Planner2D.cpp:1217-1275``).  That is
+    the default here too.
+
+    ``leaf_only=False`` is the non-LEAFONLY code path: every inserted node is
+    scored (``updateNode`` -> per-node uncertainty + cost during growth,
+    ``Planner2D.cpp:1171-1177, 814-838``) and the best node over the WHOLE
+    tree — interior or leaf — wins.  The batched equivalent evaluates all
+    node chains in one `evaluate_chains` call instead of re-rolling the
+    belief per insertion (identical scores: each node's chain is evaluated
+    from the same root belief either way)."""
+    if leaf_only:
+        return optimize2(env_state, config, seed)
+
+    belief = env_state.belief
+    vms = env_state.vmap
+    root = np.asarray(bel.current_pose(belief, config))
+    landmarks = np.asarray(bel.lm_mu(belief, config))
+    lm_valid = np.asarray(belief.lm_seen)
+
+    prob = np.asarray(vms.prob)
+    vl_known = int((prob < config.planner.occupancy_threshold).sum())
+    max_nodes = int(np.floor(vl_known * config.planner.max_nodes))
+    if max_nodes < 1:
+        return OptimizationResult.NO_SOLUTION, []
+
+    planner = HostPlanner(config, seed)
+    result, tree = planner.grow(root, landmarks, lm_valid, max_nodes)
+    if result != OptimizationResult.SUCCESS:
+        return result, []
+    if tree.n_nodes <= 1:
+        return OptimizationResult.NO_SOLUTION, []
+
+    node_ids = np.arange(1, tree.n_nodes)
+    chains, valid = node_chains(tree, node_ids)
+    uncertainties = np.asarray(
+        evaluate_chains(belief, vms, jnp.asarray(chains), jnp.asarray(valid), config)
+    )
+    dw = float(distance_weight(vms, config))
+    costs = uncertainties + tree.distance[node_ids] * dw
+    best = int(np.argmin(costs))
+
+    path = [root] + [p for p, v in zip(chains[best], valid[best]) if v]
+    odoms = [
+        np.asarray(se2.between(jnp.asarray(path[i]), jnp.asarray(path[i + 1])))
+        for i in range(len(path) - 1)
+    ]
+    return OptimizationResult.SUCCESS, odoms

@@ -289,19 +289,39 @@ def update_information(
             w * d1 + (1 - w) * d2,
         )
 
+    # CI-fold unroll policy: the fold over a pose chunk is sequential (CI is
+    # order-dependent).  Fully unrolling it (n copies of the fold body in the
+    # HLO) minimises loop overhead on TPU, but the XLA *CPU* pipeline is
+    # pathologically superlinear on the resulting module (one 32-wide unroll
+    # took >30 min and ~20 GB to compile — and the module is re-inlined per
+    # reward goal).  On CPU use a lax.scan with a small unroll instead:
+    # identical arithmetic and order, tiny HLO.
+    full_unroll = jax.default_backend() != "cpu"
+
+    def fold_body(carry, inp):
+        ia, ib, idd, updated = carry
+        vis_i, pa_i, pb_i, pd_i, ok_i = inp
+        take = vis_i & ok_i
+        fa, fb, fd = ci_planes(ia, ib, idd, pa_i, pb_i, pd_i)
+        fa = jnp.where(updated, fa, pa_i)
+        fb = jnp.where(updated, fb, pb_i)
+        fd = jnp.where(updated, fd, pd_i)
+        ia = jnp.where(take, fa, ia)
+        ib = jnp.where(take, fb, ib)
+        idd = jnp.where(take, fd, idd)
+        return (ia, ib, idd, updated | take), None
+
     def fold_chunk(planes, vis_k, pa_k, pb_k, pd_k, ok_k, n):
-        ia, ib, idd, updated = planes
-        for i in range(n):
-            take = vis_k[i] & ok_k[i]
-            fa, fb, fd = ci_planes(ia, ib, idd, pa_k[i], pb_k[i], pd_k[i])
-            fa = jnp.where(updated, fa, pa_k[i])
-            fb = jnp.where(updated, fb, pb_k[i])
-            fd = jnp.where(updated, fd, pd_k[i])
-            ia = jnp.where(take, fa, ia)
-            ib = jnp.where(take, fb, ib)
-            idd = jnp.where(take, fd, idd)
-            updated = updated | take
-        return ia, ib, idd, updated
+        if full_unroll:
+            for i in range(n):
+                planes, _ = fold_body(
+                    planes, (vis_k[i], pa_k[i], pb_k[i], pd_k[i], ok_k[i])
+                )
+            return planes
+        planes, _ = jax.lax.scan(
+            fold_body, planes, (vis_k, pa_k, pb_k, pd_k, ok_k), unroll=2
+        )
+        return planes
 
     stripe = config.virtual_map.stripe_rows
     if stripe and stripe < r:

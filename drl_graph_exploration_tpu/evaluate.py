@@ -33,12 +33,12 @@ import numpy as np
 PLOT_MAX_STEP = {40: 400, 60: 1200, 80: 2400, 100: 4500}
 
 
-def build_model(method: str, model_name: str):
+def build_model(method: str, model_name: str, n_nodes: int = 128):
     from .models import gnn
 
     if method == "DQN":
-        return gnn.GCN() if model_name == "GCN" else gnn.GGNN()
-    return gnn.PolicyGCN() if model_name == "GCN" else gnn.PolicyGGNN()
+        return gnn.build_dqn_model(model_name, n_nodes)
+    return gnn.build_a2c_models(model_name, n_nodes)[0]
 
 
 def load_params(args, model, config):
@@ -51,12 +51,14 @@ def load_params(args, model, config):
         sd = it.load_state_dict(args.torch_weights)
         if "conv1.weight" in sd:
             return it.gcn_params_from_torch(sd)
+        if "down_convs.0.weight" in sd:
+            return it.graphunet_params_from_torch(sd)
         return it.ggnn_params_from_torch(sd)
     n = config.capacity.max_nodes
     dummy_f = jnp.zeros((n, 5))
     dummy_a = jnp.zeros((n, n))
     dummy_v = jnp.ones((n,), bool)
-    if isinstance(model, (gnn.PolicyGCN, gnn.PolicyGGNN)):
+    if isinstance(model, (gnn.PolicyGCN, gnn.PolicyGGNN, gnn.PolicyGraphUNet)):
         params = model.init(
             jax.random.PRNGKey(0), dummy_f, dummy_a, dummy_v, dummy_v
         )
@@ -140,7 +142,7 @@ def run_episode(env_index, args, config, model, params, method):
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--method", choices=["DQN", "A2C"], default="DQN")
-    ap.add_argument("--model", choices=["GCN", "GG-NN"], default="GCN")
+    ap.add_argument("--model", choices=["GCN", "GG-NN", "g-U-Net"], default="GCN")
     ap.add_argument("--map-size", type=float, default=40.0)
     ap.add_argument("--episodes", type=int, default=50)
     ap.add_argument("--checkpoint", default=None)
@@ -160,7 +162,7 @@ def main(argv=None) -> None:
         base,
         capacity=dataclasses.replace(base.capacity, max_poses=args.max_poses),
     )
-    model = build_model(args.method, args.model)
+    model = build_model(args.method, args.model, config.capacity.max_nodes)
     params = load_params(args, model, config)
 
     if args.batched:
@@ -309,8 +311,38 @@ def run_batched(args, config, model, params, method: str):
         f = functools.partial(decision, config=cfg, n=cfg.capacity.max_nodes)
         return jax.jit(lambda s, fi, me, cu: f(s, fi, me, cu))
 
+    def measure_policy_latency(states) -> float:
+        """Per-decision policy compute time, B=1 (the reference's
+        ``Computation time`` column is a single-env wall-clock around the
+        model forward, ``test.py:109-121``).  Synced by fetching the output
+        to host — ``block_until_ready`` can return early on the tunneled
+        backend."""
+        obs, _ = jax.jit(jax.vmap(lambda s: ee.observe(s, config)))(states)
+        one = jax.tree.map(lambda x: x[:1], obs)
+        if method == "DQN":
+            fwd = jax.jit(lambda f_, a_, v_: model.apply(params, f_, a_, v_))
+            arg = (one.features, one.adjacency, one.node_valid)
+        else:
+            m1 = jax.vmap(lambda ks, fs: frontier_slot_mask(ks, fs, n))(
+                one.key_size, one.fro_size
+            )
+            fwd = jax.jit(
+                lambda f_, a_, v_, mm: model.apply(params, f_, a_, v_, mm)
+            )
+            arg = (one.features, one.adjacency, one.node_valid, m1)
+        float(jnp.sum(fwd(*arg)))  # compile + warm
+        import time as _time
+
+        reps = 20
+        t0 = _time.perf_counter()
+        for _ in range(reps):
+            out = fwd(*arg)
+        float(jnp.sum(out))
+        return (_time.perf_counter() - t0) / reps
+
     decision_j = make_decision(config)
-    grow_j = None
+    policy_ms = measure_policy_latency(states)
+    print(f"policy latency (B=1, jitted): {policy_ms * 1e3:.2f} ms", flush=True)
     finished = jnp.zeros((b,), bool)
     metrics = {
         "entropy": jnp.zeros((b, max_step)),
@@ -367,7 +399,7 @@ def run_batched(args, config, model, params, method: str):
                     "Map entropy": float(ent[ep, tt]),
                     "Landmarks error": float(ler[ep, tt]),
                     "Max localization uncertainty": float(mun[ep, tt]),
-                    "Computation time": 0.0,
+                    "Computation time": policy_ms,
                     "Map size": args.map_size,
                 }
             )

@@ -247,9 +247,14 @@ def augment_adj(adj, node_valid):
 
 
 class _GraphUNetCore(nn.Module):
-    """Shared down/up U-Net body; returns per-node features."""
+    """Shared down/up U-Net body; returns per-node features.
 
-    n_nodes: int  # static node capacity of the input graph
+    The pooling-capacity ladder derives from the *input* node count
+    (``features.shape[-2]``), so one parameter set serves every capacity
+    bucket — parameter shapes are node-count independent (GCN kernels and the
+    TopK score vector only depend on feature widths)."""
+
+    n_nodes: int = 0  # unused; kept for constructor compatibility
     hidden: int = HIDDEN
     out_channels: int = HIDDEN
     depth: int = 3
@@ -262,7 +267,7 @@ class _GraphUNetCore(nn.Module):
             GCNConv(self.hidden, name="down_conv_0")(features, a, node_valid)
         )
         xs, valids, adjs, perms = [x], [node_valid], [adj], []
-        k = self.n_nodes
+        k = features.shape[-2]
         cur_adj, cur_valid = adj, node_valid
         for i in range(1, self.depth + 1):
             aug = augment_adj(cur_adj, cur_valid)
@@ -271,7 +276,6 @@ class _GraphUNetCore(nn.Module):
                 self.hidden, k, self.ratio, name=f"pool_{i - 1}"
             )(x, aug, cur_valid)
             an = normalize_adjacency(cur_adj, cur_valid)
-            feats = self.hidden if i < self.depth else self.hidden
             x = nn.relu(
                 GCNConv(self.hidden, name=f"down_conv_{i}")(x, an, cur_valid)
             )
@@ -347,3 +351,30 @@ MODEL_REGISTRY.update(
         "ValueGraphUNet": ValueGraphUNet,
     }
 )
+
+# CLI model names, matching the reference's selector strings
+# (``/root/reference/scripts/train.py:12,27-52``)
+MODEL_CHOICES = ("GCN", "GG-NN", "g-U-Net")
+
+
+def build_dqn_model(name: str, n_nodes: int):
+    """DQN head for a CLI model name (GraphUNet needs the static node
+    capacity for its pooling ladder)."""
+    if name == "GCN":
+        return GCN()
+    if name in ("GG-NN", "GGNN"):
+        return GGNN()
+    if name in ("g-U-Net", "GraphUNet"):
+        return GraphUNet(n_nodes=n_nodes)
+    raise ValueError(f"unknown model {name!r}")
+
+
+def build_a2c_models(name: str, n_nodes: int):
+    """(actor, critic) pair for a CLI model name."""
+    if name == "GCN":
+        return PolicyGCN(), ValueGCN()
+    if name in ("GG-NN", "GGNN"):
+        return PolicyGGNN(), ValueGGNN()
+    if name in ("g-U-Net", "GraphUNet"):
+        return PolicyGraphUNet(n_nodes=n_nodes), ValueGraphUNet(n_nodes=n_nodes)
+    raise ValueError(f"unknown model {name!r}")

@@ -72,3 +72,31 @@ def ggnn_params_from_torch(sd: dict[str, Any]) -> dict:
     for i in range(w.shape[0]):
         params["gconv1"][f"weight_{i}"] = {"kernel": w[i]}
     return {"params": params}
+
+
+def graphunet_params_from_torch(sd: dict[str, Any], depth: int = 3) -> dict:
+    """Map a GraphUNet / PolicyGraphUNet / ValueGraphUNet state_dict
+    (``/root/reference/scripts/Networks.py:125-230``: ``down_convs.{i}``,
+    ``pools.{i}.weight`` (1, C), ``up_convs.{i}``, ``fully_con1``) to flax
+    params of :class:`~.gnn.GraphUNet`."""
+    core: dict[str, Any] = {}
+    for i in range(depth + 1):
+        core[f"down_conv_{i}"] = {
+            "lin": {"kernel": _t(sd[f"down_convs.{i}.weight"])},
+            "bias": _t(sd[f"down_convs.{i}.bias"]),
+        }
+    for i in range(depth):
+        core[f"pool_{i}"] = {"weight": _t(sd[f"pools.{i}.weight"]).reshape(-1)}
+        core[f"up_conv_{i}"] = {
+            "lin": {"kernel": _t(sd[f"up_convs.{i}.weight"])},
+            "bias": _t(sd[f"up_convs.{i}.bias"]),
+        }
+    return {
+        "params": {
+            "core": core,
+            "fully_con1": {
+                "kernel": _t(sd["fully_con1.weight"]).T,
+                "bias": _t(sd["fully_con1.bias"]),
+            },
+        }
+    }

@@ -2,20 +2,21 @@
 
 The reference has no distributed code at all (SURVEY.md section 2.3); the
 TPU-native equivalent is env-shard data parallelism: every device owns
-``rl.n_envs`` worlds plus a local replay shard, the learner's gradients ride
-the ICI via ``pmean``, and parameters stay replicated.  Expressed with
-``jax.shard_map`` over a 1-D ``Mesh`` so the same code runs on one chip, a
-v5e-8 slice, or (with ``jax.distributed``) a multi-host pod.
+``rl.n_envs`` worlds plus device-local trainer buffers (DQN: replay shard,
+A2C: n-step rollout buffer), the learner's gradients ride the ICI via
+``pmean``, and parameters stay replicated.  Expressed with ``jax.shard_map``
+over a 1-D ``Mesh`` so the same code runs on one chip, a v5e-8 slice, or
+(with ``jax.distributed``) a multi-host pod.
 
-Layout: device-local components (envs, replay, rng) carry a leading ``dp``
-axis of size ``n_devices``; parameters, optimiser state and counters are
-replicated.  Inside ``shard_map`` each device sees its size-1 slice, squeezed
-before running the per-device :func:`~..rl.dqn.decision_step_impl`.
+Layout: device-local components carry a leading ``dp`` axis of size
+``n_devices``; parameters, optimiser state and counters are replicated.
+Inside ``shard_map`` each device sees its size-1 slice, squeezed before
+running the per-device ``decision_step_impl``.
 """
 
 from __future__ import annotations
 
-from functools import partial
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -23,9 +24,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ExplorationConfig
 from ..env import exploration_env as ee
+from ..rl import a2c as a2c_mod
 from ..rl import dqn
 from ..rl import replay as rp
+from ..rl.a2c import A2CConfig, A2CState
 from ..rl.dqn import DQNState, RLConfig
+
+# state fields carrying a leading (n_devices,) axis; everything else is
+# replicated across the mesh
+DQN_SHARDED = ("replay", "envs", "rng")
+A2C_SHARDED = ("envs", "buffer", "rng")
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -37,18 +45,67 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devices), ("dp",))
 
 
-def _specs(state: DQNState) -> DQNState:
-    rep = lambda tree: jax.tree.map(lambda _: P(), tree)
-    shard = lambda tree: jax.tree.map(lambda _: P("dp"), tree)
-    return DQNState(
-        params=rep(state.params),
-        target_params=rep(state.target_params),
-        opt_state=rep(state.opt_state),
-        replay=shard(state.replay),
-        envs=shard(state.envs),
-        step_t=P(),
-        rng=shard(state.rng),
+def _specs(state, sharded_fields: tuple[str, ...]):
+    """PartitionSpec pytree matching ``state``: P("dp") on sharded fields'
+    leaves, replicated P() elsewhere."""
+    return type(state)(
+        **{
+            f: jax.tree.map(
+                lambda _: P("dp") if f in sharded_fields else P(), getattr(state, f)
+            )
+            for f in state._fields
+        }
     )
+
+
+def _place(state, sharded_fields: tuple[str, ...], mesh: Mesh):
+    specs = _specs(state, sharded_fields)
+    return jax.device_put(
+        state,
+        jax.tree.map(
+            lambda s: NamedSharding(mesh, s), specs, is_leaf=lambda x: isinstance(x, P)
+        ),
+    )
+
+
+def _dp_step(mesh: Mesh, sharded_fields: tuple[str, ...], impl, metric_keys):
+    """Build the jitted data-parallel decision step: ``state -> (state,
+    metrics)``.  ``impl(state) -> (state, metrics)`` is the per-device step
+    (already carrying ``axis_name="dp"`` collectives)."""
+
+    def step(state):
+        specs = _specs(state, sharded_fields)
+
+        def local(st):
+            st = st._replace(
+                **{
+                    f: jax.tree.map(lambda x: x[0], getattr(st, f))
+                    for f in sharded_fields
+                }
+            )
+            st, metrics = impl(st)
+            st = st._replace(
+                **{
+                    f: jax.tree.map(lambda x: x[None], getattr(st, f))
+                    for f in sharded_fields
+                }
+            )
+            return st, metrics
+
+        metric_specs = {k: P() for k in metric_keys}
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(specs,),
+            out_specs=(specs, metric_specs),
+            check_vma=False,
+        )(state)
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# DQN
 
 
 def init_dp_dqn(
@@ -60,66 +117,95 @@ def init_dp_dqn(
     cap = config.capacity
     k1, k2, k3 = jax.random.split(key, 3)
 
-    base = dqn.init_dqn(k1, model, config, rl)  # for params/opt template
+    # params/opt template (without init_dqn's env reset — that would compile
+    # a second, differently-shaped reset module for nothing)
+    n = cap.max_nodes
+    params = model.init(
+        k1, jnp.zeros((n, 5)), jnp.zeros((n, n)), jnp.ones((n,), bool)
+    )
+    opt_state = dqn.make_optimizer(rl).init(params)
 
     env_keys = jax.random.split(k2, n_dev * rl.n_envs).reshape(n_dev, rl.n_envs, -1)
-    envs = jax.vmap(jax.vmap(lambda k: ee.reset(k, config)))(env_keys)
-    replay = jax.vmap(lambda _: rp.init_replay(rl.replay_memory, cap.max_nodes, rl.edge_cap))(
-        jnp.arange(n_dev)
-    )
+    # jit the whole init: eager vmap-of-reset compiles dozens of op-level
+    # modules (minutes on a 1-CPU host); one jitted module is cached once
+    envs = jax.jit(jax.vmap(jax.vmap(lambda k: ee.reset(k, config))))(env_keys)
+    replay = jax.jit(
+        jax.vmap(
+            lambda _: rp.init_replay(rl.replay_memory, cap.max_nodes, rl.edge_cap)
+        )
+    )(jnp.arange(n_dev))
     state = DQNState(
-        params=base.params,
-        target_params=base.target_params,
-        opt_state=base.opt_state,
+        params=params,
+        target_params=params,
+        opt_state=opt_state,
         replay=replay,
         envs=envs,
         step_t=jnp.int32(0),
         rng=jax.random.split(k3, n_dev),
     )
-    specs = _specs(state)
-    return jax.device_put(
-        state, jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
-                            is_leaf=lambda x: isinstance(x, P))
-    )
+    return _place(state, DQN_SHARDED, mesh)
 
 
 def dp_decision_step(model, config: ExplorationConfig, rl: RLConfig, mesh: Mesh):
-    """Build the jitted data-parallel decision step for ``mesh``.  Returns a
-    function ``state -> (state, metrics)``."""
+    """Jitted data-parallel DQN decision step for ``mesh``."""
     n_dev = mesh.devices.size
-    rl_local = dqn.RLConfig(**{**rl.__dict__, "world_size": n_dev})
+    rl_local = dataclasses.replace(rl, world_size=n_dev)
 
-    def step(state: DQNState):
-        specs = _specs(state)
+    def impl(st):
+        return dqn.decision_step_impl(st, model, config, rl_local, axis_name="dp")
 
-        def local(st: DQNState):
-            sharded_leaves = ("replay", "envs", "rng")
-            st = st._replace(
-                **{
-                    f: jax.tree.map(lambda x: x[0], getattr(st, f))
-                    for f in sharded_leaves
-                }
-            )
-            st, metrics = dqn.decision_step_impl(
-                st, model, config, rl_local, axis_name="dp"
-            )
-            st = st._replace(
-                **{
-                    f: jax.tree.map(lambda x: x[None], getattr(st, f))
-                    for f in sharded_leaves
-                }
-            )
-            return st, metrics
+    return _dp_step(mesh, DQN_SHARDED, impl, dqn.METRIC_KEYS)
 
-        # metric keys must match decision_step_impl's dict exactly — use the
-        # exported key list instead of hard-coding a stale copy
-        metric_specs = {k: P() for k in dqn.METRIC_KEYS}
-        return jax.shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(specs,),
-            out_specs=(specs, metric_specs),
-            check_vma=False,
-        )(state)
 
-    return jax.jit(step)
+# ---------------------------------------------------------------------------
+# A2C
+
+
+def init_dp_a2c(
+    key: jax.Array, actor, critic, config: ExplorationConfig, rl: A2CConfig,
+    mesh: Mesh,
+) -> A2CState:
+    n_dev = mesh.devices.size
+    cap = config.capacity
+    n = cap.max_nodes
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    dummy_f = jnp.zeros((n, 5))
+    dummy_a = jnp.zeros((n, n))
+    dummy_v = jnp.ones((n,), bool)
+    dummy_m = jnp.zeros((n,), bool).at[0].set(True)
+    actor_params = actor.init(k1, dummy_f, dummy_a, dummy_v, dummy_m)
+    critic_params = critic.init(k2, dummy_f, dummy_a, dummy_v)
+    opt_state = a2c_mod.make_optimizer(rl).init((actor_params, critic_params))
+
+    env_keys = jax.random.split(k3, n_dev * rl.n_envs).reshape(n_dev, rl.n_envs, -1)
+    envs = jax.jit(jax.vmap(jax.vmap(lambda k: ee.reset(k, config))))(env_keys)
+    buffer = jax.jit(
+        jax.vmap(lambda _: a2c_mod._empty_buffer(rl, n))
+    )(jnp.arange(n_dev))
+    state = A2CState(
+        actor_params=actor_params,
+        critic_params=critic_params,
+        opt_state=opt_state,
+        envs=envs,
+        buffer=buffer,
+        buf_idx=jnp.int32(0),
+        step_t=jnp.int32(0),
+        rng=jax.random.split(k4, n_dev),
+    )
+    return _place(state, A2C_SHARDED, mesh)
+
+
+def dp_a2c_decision_step(
+    actor, critic, config: ExplorationConfig, rl: A2CConfig, mesh: Mesh
+):
+    """Jitted data-parallel A2C decision step for ``mesh``."""
+    n_dev = mesh.devices.size
+    rl_local = dataclasses.replace(rl, world_size=n_dev)
+
+    def impl(st):
+        return a2c_mod.decision_step_impl(
+            st, actor, critic, config, rl_local, axis_name="dp"
+        )
+
+    return _dp_step(mesh, A2C_SHARDED, impl, a2c_mod.METRIC_KEYS)

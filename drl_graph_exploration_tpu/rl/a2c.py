@@ -105,7 +105,9 @@ def init_a2c(
     actor_params = actor.init(k1, dummy_f, dummy_a, dummy_v, dummy_m)
     critic_params = critic.init(k2, dummy_f, dummy_a, dummy_v)
     opt_state = make_optimizer(rl).init((actor_params, critic_params))
-    envs = jax.vmap(lambda k: ee.reset(k, config))(jax.random.split(k3, rl.n_envs))
+    envs = jax.jit(jax.vmap(lambda k: ee.reset(k, config)))(
+        jax.random.split(k3, rl.n_envs)
+    )
     return A2CState(
         actor_params=actor_params,
         critic_params=critic_params,
@@ -149,6 +151,11 @@ def a2c_losses(
 
     loss = policy_loss - entropy * rl.ent_coef + value_loss * rl.vf_coef
     return loss, (policy_loss, value_loss, entropy)
+
+
+# every metric decision_step_impl returns (parallel/dp.py builds its
+# shard_map out_specs from this)
+METRIC_KEYS = ("reward", "loss", "value", "done_frac", "explored")
 
 
 def decision_step_impl(
@@ -291,6 +298,7 @@ def decision_step_impl(
         "done_frac": jnp.mean(done.astype(jnp.float32)),
         "explored": jnp.mean(jax.vmap(lambda e: vm.explored(e.vmap, config))(envs)),
     }
+    assert set(metrics) == set(METRIC_KEYS), sorted(set(metrics) ^ set(METRIC_KEYS))
     if axis_name is not None:
         metrics = {k: jax.lax.pmean(v, axis_name) for k, v in metrics.items()}
 

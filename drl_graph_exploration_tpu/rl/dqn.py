@@ -84,7 +84,9 @@ def init_dqn(
     dummy_v = jnp.ones((n,), bool)
     params = model.init(k1, dummy_f, dummy_a, dummy_v)
     opt_state = make_optimizer(rl).init(params)
-    envs = jax.vmap(lambda k: ee.reset(k, config))(jax.random.split(k2, rl.n_envs))
+    envs = jax.jit(jax.vmap(lambda k: ee.reset(k, config)))(
+        jax.random.split(k2, rl.n_envs)
+    )
     return DQNState(
         params=params,
         target_params=params,

@@ -31,7 +31,7 @@ import numpy as np
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--method", choices=["DQN", "A2C"], default="DQN")
-    ap.add_argument("--model", choices=["GCN", "GG-NN"], default="GCN")
+    ap.add_argument("--model", choices=["GCN", "GG-NN", "g-U-Net"], default="GCN")
     ap.add_argument("--map-size", type=float, default=40.0)
     ap.add_argument("--n-envs", type=int, default=8)
     ap.add_argument("--decisions", type=int, default=10000,
@@ -102,8 +102,16 @@ def main(argv=None) -> None:
 
         tb_writer = SummaryWriter(os.path.join(args.out_dir, "tb"))
 
+    # --devices N > 0: env-shard data parallelism over the first N devices
+    # (parallel/dp.py); params stay replicated, gradients pmean over the mesh
+    mesh = None
+    if args.devices > 0:
+        from .parallel import dp
+
+        mesh = dp.make_mesh(args.devices)
+
     if args.method == "DQN":
-        model = gnn.GCN() if args.model == "GCN" else gnn.GGNN()
+        model = gnn.build_dqn_model(args.model, config.capacity.max_nodes)
         target_update = 15000 if args.model == "GCN" else 9000
         rl = dqn.RLConfig(
             n_envs=args.n_envs,
@@ -114,11 +122,17 @@ def main(argv=None) -> None:
             edge_cap=args.edge_cap,
             updates_per_step=args.updates_per_step or args.n_envs,
         )
-        state = dqn.init_dqn(key, model, config, rl)
+        if mesh is not None:
+            state = dp.init_dp_dqn(key, model, config, rl, mesh)
+            step_fn = dp.dp_decision_step(model, config, rl, mesh)
+            step = lambda st: step_fn(st)
+        else:
+            state = dqn.init_dqn(key, model, config, rl)
+            step = lambda st: dqn.decision_step(st, model, config, rl)
         state = _try_resume(state, args.resume, serialization)
 
         for i in range(args.decisions):
-            state, metrics = dqn.decision_step(state, model, config, rl)
+            state, metrics = step(state)
             _log(metrics, state.step_t, rewards_log, curve_rows, i, args, t_start,
                  tb_writer, loss_rows)
             if (i + 1) % args.checkpoint_every == 0:
@@ -126,13 +140,18 @@ def main(argv=None) -> None:
                       rewards_log, curve_rows, loss_rows)
         _save(args.out_dir, state, state.params, args.decisions)
     else:
-        actor = gnn.PolicyGCN() if args.model == "GCN" else gnn.PolicyGGNN()
-        critic = gnn.ValueGCN() if args.model == "GCN" else gnn.ValueGGNN()
-        rl = a2c.A2CConfig(n_envs=args.n_envs)
-        state = a2c.init_a2c(key, actor, critic, config, rl)
+        actor, critic = gnn.build_a2c_models(args.model, config.capacity.max_nodes)
+        rl = a2c.A2CConfig(n_envs=args.n_envs, edge_cap=args.edge_cap)
+        if mesh is not None:
+            state = dp.init_dp_a2c(key, actor, critic, config, rl, mesh)
+            step_fn = dp.dp_a2c_decision_step(actor, critic, config, rl, mesh)
+            step = lambda st: step_fn(st)
+        else:
+            state = a2c.init_a2c(key, actor, critic, config, rl)
+            step = lambda st: a2c.decision_step(st, actor, critic, config, rl)
         state = _try_resume(state, args.resume, serialization)
         for i in range(args.decisions):
-            state, metrics = a2c.decision_step(state, actor, critic, config, rl)
+            state, metrics = step(state)
             _log(metrics, state.step_t, rewards_log, curve_rows, i, args, t_start,
                  tb_writer, loss_rows)
             if (i + 1) % args.checkpoint_every == 0:

@@ -2,6 +2,7 @@ import dataclasses
 
 import jax
 import numpy as np
+import pytest
 
 from drl_graph_exploration_tpu.config import CapacityConfig, ExplorationConfig
 from drl_graph_exploration_tpu.models import gnn
@@ -17,6 +18,7 @@ CFG = dataclasses.replace(
 RL = a2c.A2CConfig(nstep=2, n_envs=2, edge_cap=256)
 
 
+@pytest.mark.slow
 def test_a2c_decision_steps_train_and_finite():
     actor, critic = gnn.PolicyGCN(), gnn.ValueGCN()
     state = a2c.init_a2c(jax.random.PRNGKey(0), actor, critic, CFG, RL)

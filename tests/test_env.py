@@ -85,6 +85,7 @@ def test_rewards_all_goals(state0):
     assert np.isclose(n[:g].min(), -1.0, atol=1e-5) or g == 1
 
 
+@pytest.mark.slow
 def test_greedy_episode_explores():
     """Drive a greedy nearest-frontier policy; explored fraction must rise."""
     from drl_graph_exploration_tpu.env import virtual_map as vm

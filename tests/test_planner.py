@@ -109,3 +109,51 @@ def test_evaluate_chains_monotone_information(state0):
     )
     assert np.isfinite(u_move) and np.isfinite(u_stay)
     assert u_move <= u_stay + 1e-3
+
+
+def test_optimize_full_tree_beats_or_matches_leaf_only(state0):
+    """Non-LEAFONLY ``optimize`` (Planner2D.cpp:1171-1177 without the
+    LEAFONLY guard) scores every node; with the same seed (same tree) its
+    best cost can only be <= the best leaf cost, and its returned path must
+    be executable."""
+    from drl_graph_exploration_tpu.env import belief as bel
+
+    planner = pl.HostPlanner(CFG, seed=7)
+    root = np.asarray(bel.current_pose(state0.belief, CFG))
+    lms = np.asarray(bel.lm_mu(state0.belief, CFG))
+    lmv = np.asarray(state0.belief.lm_seen)
+    result, tree = planner.grow(root, lms, lmv, max_nodes=20)
+    assert result == pl.OptimizationResult.SUCCESS
+
+    node_ids = np.arange(1, tree.n_nodes)
+    chains_n, valid_n = pl.node_chains(tree, node_ids)
+    unc_n = np.asarray(
+        pl.evaluate_chains(
+            state0.belief, state0.vmap, jnp.asarray(chains_n),
+            jnp.asarray(valid_n), CFG,
+        )
+    )
+    chains_l, valid_l, leaf_ids = pl.leaf_chains(tree)
+    unc_l = np.asarray(
+        pl.evaluate_chains(
+            state0.belief, state0.vmap, jnp.asarray(chains_l),
+            jnp.asarray(valid_l), CFG,
+        )
+    )
+    dw = float(pl.distance_weight(state0.vmap, CFG))
+    cost_n = unc_n + tree.distance[node_ids] * dw
+    cost_l = unc_l + tree.distance[leaf_ids] * dw
+    assert cost_n.min() <= cost_l.min() + 1e-6
+    # leaves are a subset of nodes: their costs must agree exactly
+    for li, leaf in enumerate(leaf_ids):
+        ni = int(leaf) - 1
+        np.testing.assert_allclose(cost_n[ni], cost_l[li], rtol=1e-6)
+
+
+def test_optimize_leaf_only_default_matches_optimize2(state0):
+    r1, o1 = pl.optimize(state0, CFG, seed=5)
+    r2, o2 = pl.optimize2(state0, CFG, seed=5)
+    assert r1 == r2
+    assert len(o1) == len(o2)
+    for a, b in zip(o1, o2):
+        np.testing.assert_allclose(a, b)
