@@ -53,14 +53,28 @@ K = int(os.environ.get("BENCH_K", 400))  # primitive steps after the initial sca
 MACRO = int(os.environ.get("BENCH_MACRO", 4))  # steps per raster refresh
 RASTER_MODE = os.environ.get("BENCH_RASTERS", "decision")  # decision | step
 TARGET = 10_000.0
-# pose-capacity buckets; every D = 3P + 2L is a multiple of 128
-BUCKETS = [160, 288, 416]
+# Pose-capacity buckets (env/capacity.py): the belief step's covariance pass
+# is O(D^2) with D = 3P + 2L, so a finer ladder keeps mid-episode steps from
+# paying full-capacity cost (profiled: step_noraster 5.4/11.9/20.4 ms at
+# P=160/288/416, B=128).  dP=64 keeps every D a multiple of 64 (lane-tile
+# friendly; the Pallas kernels pad the ragged edge, ops/ekf_update.py:21).
+BUCKETS = [
+    int(p)
+    for p in os.environ.get("BENCH_BUCKETS", "160,224,288,352,416").split(",")
+]
+
+
+STRIPE = int(os.environ.get("BENCH_STRIPE", 0))  # info-sweep stripe rows
 
 
 def build(base: ExplorationConfig):
     use_pallas = jax.default_backend() not in ("cpu",)
     belief = dataclasses.replace(base.belief, use_pallas=use_pallas)
     base = dataclasses.replace(base, belief=belief)
+    if STRIPE:
+        base = dataclasses.replace(
+            base, virtual_map=dataclasses.replace(base.virtual_map, stripe_rows=STRIPE)
+        )
     per_step = RASTER_MODE == "step"
     cfgs = {p: cp.with_max_poses(base, p) for p in BUCKETS}
     init_fns = {
@@ -85,6 +99,26 @@ def build(base: ExplorationConfig):
         )
         for p in BUCKETS
     }
+
+    def macro_step(st, odoms, c):
+        """One decision-shaped module: scan MACRO primitive steps (belief
+        update every step, rasters deferred) + one raster rebuild — exactly
+        the rl/dqn.py `run_env` shape.  One dispatch per macro instead of
+        MACRO+1 (the tunneled backend charges per dispatch)."""
+
+        def body(s, od):
+            return ee.env_step(s, od, c, update_rasters=False), None
+
+        st, _ = jax.lax.scan(body, st, odoms)
+        return ee.refresh_rasters(st, c)
+
+    macro_fns = {
+        p: jax.jit(
+            jax.vmap(lambda st, od, c=cfgs[p]: macro_step(st, od, c)),
+            donate_argnums=0,
+        )
+        for p in BUCKETS
+    }
     grow_fns = {
         (a, b): jax.jit(
             jax.vmap(lambda s, ca=cfgs[a], cb=cfgs[b]: cp.grow_state(s, ca, cb)),
@@ -92,7 +126,7 @@ def build(base: ExplorationConfig):
         )
         for a, b in zip(BUCKETS, BUCKETS[1:])
     }
-    return cfgs, init_fns, step_fns, refresh_fns, grow_fns
+    return cfgs, init_fns, step_fns, refresh_fns, macro_fns, grow_fns
 
 
 SCAN_ODOM = jnp.array([1.0, 1.0, jnp.pi / 2.0])
@@ -101,13 +135,12 @@ CYCLE = jnp.array(
 )
 
 
-def episode(seed: int, init_fns, step_fns, refresh_fns, grow_fns):
+def episode(seed: int, init_fns, step_fns, refresh_fns, macro_fns, grow_fns):
     """One full bucketed episode over B worlds; returns total steps taken."""
     keys = jax.random.split(jax.random.PRNGKey(seed), B)
     states = init_fns[BUCKETS[0]](keys)
     sched = cp.BucketSchedule(BUCKETS, initial_poses=1)
     steps = 0
-    since_refresh = 0
 
     def one_step(states, odom):
         tr = sched.advance()
@@ -115,21 +148,32 @@ def episode(seed: int, init_fns, step_fns, refresh_fns, grow_fns):
             states = grow_fns[tr](states)
         return step_fns[sched.current](states, jnp.tile(odom, (B, 1)))
 
+    def one_macro(states, odoms):
+        """MACRO primitive steps + raster rebuild in one dispatch; grow to
+        the next bucket first if any step in the macro would overflow."""
+        for _ in range(odoms.shape[0]):
+            tr = sched.advance()
+            if tr is not None:
+                states = grow_fns[tr](states)
+        return macro_fns[sched.current](
+            states, jnp.tile(odoms[None], (B, 1, 1))
+        )
+
     for _ in range(4):  # the reference's 360-degree initial scan
         states = one_step(states, SCAN_ODOM)
         steps += 1
     if RASTER_MODE != "step":
         states = refresh_fns[sched.current](states)
-    for i in range(K):
-        states = one_step(states, CYCLE[i % 4])
-        steps += 1
-        since_refresh += 1
-        if RASTER_MODE != "step" and since_refresh >= MACRO:
-            # decision boundary: one raster rebuild for the whole macro
-            states = refresh_fns[sched.current](states)
-            since_refresh = 0
-    if RASTER_MODE != "step" and since_refresh:
-        states = refresh_fns[sched.current](states)
+    if RASTER_MODE == "step":
+        for i in range(K):
+            states = one_step(states, CYCLE[i % 4])
+            steps += 1
+    else:
+        assert K % MACRO == 0, "K must be a multiple of MACRO"
+        odoms = jnp.stack([CYCLE[i % 4] for i in range(MACRO)])
+        for _ in range(K // MACRO):
+            states = one_macro(states, odoms)
+            steps += MACRO
     # sync: fetch a state-dependent scalar — on the tunneled TPU backend
     # block_until_ready returns before remote execution finishes
     float(jnp.sum(states.belief.mu) + jnp.sum(states.vmap.prob))
@@ -138,12 +182,12 @@ def episode(seed: int, init_fns, step_fns, refresh_fns, grow_fns):
 
 def main() -> None:
     config = ExplorationConfig()  # reference map-40 settings
-    _, init_fns, step_fns, refresh_fns, grow_fns = build(config)
+    _, init_fns, step_fns, refresh_fns, macro_fns, grow_fns = build(config)
 
-    episode(0, init_fns, step_fns, refresh_fns, grow_fns)  # warm-up compile
+    episode(0, init_fns, step_fns, refresh_fns, macro_fns, grow_fns)  # warm-up
 
     t0 = time.perf_counter()
-    steps = episode(1, init_fns, step_fns, refresh_fns, grow_fns)
+    steps = episode(1, init_fns, step_fns, refresh_fns, macro_fns, grow_fns)
     dt = time.perf_counter() - t0
 
     steps_per_sec = B * steps / dt

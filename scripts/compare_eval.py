@@ -41,7 +41,9 @@ def at_step(rows, step: int):
 
 
 def mean_time(rows) -> float:
-    ts = [float(r["Computation time"]) for r in rows]
+    """Mean of non-empty Computation time cells (the reference writes one
+    such row per episode, metric rows leave the column empty)."""
+    ts = [float(r["Computation time"]) for r in rows if r["Computation time"]]
     return sum(ts) / max(len(ts), 1)
 
 
