@@ -85,7 +85,7 @@ def run_episode(env_index, args, config, model, params, method):
 
     rows = []
     step_t = 0
-    max_step = PLOT_MAX_STEP.get(int(args.map_size), 400)
+    max_step = args.max_step or PLOT_MAX_STEP.get(int(args.map_size), 400)
     while step_t < max_step:
         obs, frontiers = obs_fn(state)
         fs = int(obs.fro_size)
@@ -187,10 +187,6 @@ def main(argv=None) -> None:
             w.writeheader()
             w.writerows(all_rows)
     print(f"wrote {len(all_rows)} rows -> {out}")
-
-
-if __name__ == "__main__":
-    main()
 
 
 # ---------------------------------------------------------------------------
@@ -404,3 +400,7 @@ def run_batched(args, config, model, params, method: str):
                 }
             )
     return rows
+
+
+if __name__ == "__main__":
+    main()

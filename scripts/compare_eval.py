@@ -32,6 +32,8 @@ def at_step(rows, step: int):
     keys = ("Map entropy", "Landmarks error", "Max localization uncertainty")
     acc = defaultdict(list)
     for r in rows:
+        if not r["Step"]:  # per-episode Computation-time rows have no Step
+            continue
         if int(float(r["Step"])) == step:
             for k in keys:
                 acc[k].append(float(r[k]))
