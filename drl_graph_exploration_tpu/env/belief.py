@@ -92,12 +92,21 @@ def current_pose(belief: BeliefState, config: ExplorationConfig) -> jax.Array:
     return jax.lax.dynamic_slice(belief.mu, (3 * (belief.n_poses - 1),), (3,))
 
 
+def _diag_blocks(cov: jax.Array, n: int, k: int, offset: int) -> jax.Array:
+    """(n, k, k) diagonal k-blocks of ``cov`` starting at row/col ``offset``.
+
+    A flat gather on the 2-D matrix: the obvious
+    ``cov.reshape(n, k, n, k)[i, :, i, :]`` materialises the 5-D view in TPU
+    tiled layout (trailing dim k padded to 128 -> ~42x memory, 9.4 GB at
+    P=1280 B=25), which OOMs large-map batched evaluation.
+    """
+    rows = offset + k * jnp.arange(n)[:, None] + jnp.arange(k)[None, :]  # (n, k)
+    return cov[rows[:, :, None], rows[:, None, :]]
+
+
 def pose_cov_blocks(belief: BeliefState, config: ExplorationConfig) -> jax.Array:
     """(P, 3, 3) global-frame marginal covariance of every pose slot."""
-    p = config.capacity.max_poses
-    c = belief.cov[: 3 * p, : 3 * p].reshape(p, 3, p, 3)
-    idx = jnp.arange(p)
-    return c[idx, :, idx, :]
+    return _diag_blocks(belief.cov, config.capacity.max_poses, 3, 0)
 
 
 def pose_cov_blocks_local(belief: BeliefState, config: ExplorationConfig) -> jax.Array:
@@ -111,9 +120,7 @@ def pose_cov_blocks_local(belief: BeliefState, config: ExplorationConfig) -> jax
 def lm_cov_blocks(belief: BeliefState, config: ExplorationConfig) -> jax.Array:
     """(L, 2, 2) landmark marginal covariances."""
     p, l = config.capacity.max_poses, config.capacity.max_landmarks
-    c = belief.cov[3 * p :, 3 * p :].reshape(l, 2, l, 2)
-    idx = jnp.arange(l)
-    return c[idx, :, idx, :]
+    return _diag_blocks(belief.cov, l, 2, 3 * p)
 
 
 # ---------------------------------------------------------------------------

@@ -153,6 +153,10 @@ def main(argv=None) -> None:
                     help="run all episodes as one vmapped batch (TPU-fast)")
     ap.add_argument("--max-step", type=int, default=0,
                     help="override the per-map plot cutoff")
+    ap.add_argument("--seed-offset", type=int, default=0,
+                    help="first episode seed (split the 50-world protocol "
+                         "into HBM-sized batches: --episodes 25 "
+                         "--seed-offset 0 / 25)")
     args = ap.parse_args(argv)
 
     from .config import CapacityConfig, ExplorationConfig
@@ -170,7 +174,9 @@ def main(argv=None) -> None:
     else:
         all_rows = []
         for ep in range(args.episodes):
-            rows = run_episode(ep, args, config, model, params, args.method)
+            rows = run_episode(
+                ep + args.seed_offset, args, config, model, params, args.method
+            )
             all_rows.extend(rows)
             if rows:
                 print(
@@ -232,7 +238,7 @@ def run_batched(args, config, model, params, method: str):
     config = cfgs[buckets[bucket_i]]
     n = config.capacity.max_nodes
 
-    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(b))
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(b) + args.seed_offset)
     states = jax.jit(jax.vmap(lambda k: ee.reset(k, config)))(keys)
 
     def decision(states, finished, metrics, cursors, *, config, n):
