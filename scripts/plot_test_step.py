@@ -28,6 +28,8 @@ def main():
         per_step = defaultdict(lambda: defaultdict(list))
         label = rows[0]["Category"] if rows else path
         for row in rows:
+            if not (row.get("Step") or "").strip():
+                continue  # reference CSVs carry blank separator rows
             step = int(float(row["Step"]))
             if step > args.max_step:
                 continue
