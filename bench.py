@@ -148,16 +148,14 @@ def episode(seed: int, init_fns, step_fns, refresh_fns, macro_fns, grow_fns):
             states = grow_fns[tr](states)
         return step_fns[sched.current](states, jnp.tile(odom, (B, 1)))
 
-    def one_macro(states, odoms):
+    def one_macro(states, odoms_b):
         """MACRO primitive steps + raster rebuild in one dispatch; grow to
         the next bucket first if any step in the macro would overflow."""
-        for _ in range(odoms.shape[0]):
+        for _ in range(odoms_b.shape[1]):
             tr = sched.advance()
             if tr is not None:
                 states = grow_fns[tr](states)
-        return macro_fns[sched.current](
-            states, jnp.tile(odoms[None], (B, 1, 1))
-        )
+        return macro_fns[sched.current](states, odoms_b)
 
     for _ in range(4):  # the reference's 360-degree initial scan
         states = one_step(states, SCAN_ODOM)
@@ -170,9 +168,13 @@ def episode(seed: int, init_fns, step_fns, refresh_fns, macro_fns, grow_fns):
             steps += 1
     else:
         assert K % MACRO == 0, "K must be a multiple of MACRO"
-        odoms = jnp.stack([CYCLE[i % 4] for i in range(MACRO)])
+        # hoist the constant (B, MACRO, 3) batch out of the timed loop so no
+        # per-iteration host->device upload pollutes the dispatch pipeline
+        odoms_b = jnp.tile(
+            jnp.stack([CYCLE[i % 4] for i in range(MACRO)])[None], (B, 1, 1)
+        )
         for _ in range(K // MACRO):
-            states = one_macro(states, odoms)
+            states = one_macro(states, odoms_b)
             steps += MACRO
     # sync: fetch a state-dependent scalar — on the tunneled TPU backend
     # block_until_ready returns before remote execution finishes

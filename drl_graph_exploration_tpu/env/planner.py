@@ -57,6 +57,10 @@ class RRTree(NamedTuple):
     # (k, 3) arrays, aligned with node ids; entry 0 / non-dubins = None).
     # In straight-edge mode an edge IS its endpoint, so this stays None.
     waypoints: list | None = None
+    # Goal-directed mode: index of the attached goal node, or -1 if the tree
+    # filled before the goal was reached (the reference's only exit paths are
+    # goal-attach or SAMPLING_FAILURE, ``Planner2D.cpp:871-923``).
+    goal_node: int = -1
 
 
 MAX_TREE = 2048
@@ -184,7 +188,19 @@ class HostPlanner:
                 return OptimizationResult.SAMPLING_FAILURE, RRTree(
                     poses, parent, distance, 1
                 )
-            return OptimizationResult.SUCCESS, RRTree(poses, parent, distance, n)
+            # the native builder attaches the goal exactly (the clamp never
+            # binds: attach requires dist <= max_edge_length), so goal-reach
+            # is detectable from the final node's position
+            goal_node = -1
+            if (
+                goal is not None
+                and n >= 2
+                and np.linalg.norm(poses[n - 1][:2] - goal[:2]) < 1e-6
+            ):
+                goal_node = n - 1
+            return OptimizationResult.SUCCESS, RRTree(
+                poses, parent, distance, n, goal_node=goal_node
+            )
         safe = pl.safe_distance
         # initial safe-distance relaxation (Planner2D.cpp:1046-1054)
         if lm_valid.any():
@@ -274,24 +290,47 @@ class HostPlanner:
 
             if goal is not None:
                 if np.linalg.norm(new_pose[:2] - goal[:2]) <= pl.max_edge_length:
-                    # attach the goal node (Planner2D.cpp:910-920)
-                    glocal = np.asarray(
-                        se2.transform_to(jnp.asarray(new_pose), jnp.asarray(goal[:2]))
-                    )
-                    ga = np.arctan2(glocal[1], glocal[0])
-                    gd = min(np.linalg.norm(glocal), pl.max_edge_length)
-                    gpose = np.asarray(
-                        se2.compose(
-                            jnp.asarray(new_pose),
-                            jnp.array([gd * np.cos(ga), gd * np.sin(ga), ga]),
+                    # attach the goal node (Planner2D.cpp:910-920).  In Dubins
+                    # mode the goal edge is a library connect like any other
+                    # (``connectNode(goal, node)``, Planner2D.cpp:915); if no
+                    # primitive reaches the goal safely, keep growing (we do
+                    # NOT replicate the reference quirk of exiting with an
+                    # unattached goal when that connect fails).
+                    if self.dubins_lib is not None:
+                        gres = self.dubins_lib.connect(new_pose, goal[:2])
+                        if gres is None or not self._dubins_waypoints_safe(
+                            gres[0], landmarks, lm_valid, safe
+                        ):
+                            continue
+                        gwps = gres[0]
+                        poses[n] = gwps[-1]
+                        waypoints[n] = gwps
+                        parent[n] = n - 1
+                        distance[n] = distance[n - 1] + np.sqrt(
+                            _sq_pose_distance(
+                                new_pose[None], gwps[-1], pl.angle_weight
+                            )[0]
                         )
-                    )
-                    poses[n] = gpose
-                    parent[n] = n - 1
-                    distance[n] = distance[n - 1] + gd
+                    else:
+                        glocal = np.asarray(
+                            se2.transform_to(
+                                jnp.asarray(new_pose), jnp.asarray(goal[:2])
+                            )
+                        )
+                        ga = np.arctan2(glocal[1], glocal[0])
+                        gd = min(np.linalg.norm(glocal), pl.max_edge_length)
+                        gpose = np.asarray(
+                            se2.compose(
+                                jnp.asarray(new_pose),
+                                jnp.array([gd * np.cos(ga), gd * np.sin(ga), ga]),
+                            )
+                        )
+                        poses[n] = gpose
+                        parent[n] = n - 1
+                        distance[n] = distance[n - 1] + gd
                     n += 1
                     return OptimizationResult.SUCCESS, RRTree(
-                        poses, parent, distance, n, waypoints
+                        poses, parent, distance, n, waypoints, goal_node=n - 1
                     )
         return OptimizationResult.SUCCESS, RRTree(
             poses, parent, distance, n, waypoints
@@ -328,6 +367,16 @@ def node_chains(
     return chains, valid
 
 
+def leaf_ids(tree: RRTree) -> np.ndarray:
+    """Node ids with no children (the LEAFONLY evaluation set)."""
+    n = tree.n_nodes
+    is_parent = np.zeros(n, bool)
+    pids = tree.parent[1:n]
+    is_parent[pids[pids >= 0]] = True
+    leaves = [i for i in range(1, n) if not is_parent[i]]
+    return np.array(leaves if leaves else [0])
+
+
 def leaf_chains(tree: RRTree) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Extract padded root->leaf waypoint chains.
 
@@ -338,12 +387,7 @@ def leaf_chains(tree: RRTree) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     Returns (chains (L, T, 3), valid (L, T), leaf_ids (L,)) with
     T = MAX_DEPTH (straight) or the longest expanded chain (Dubins),
     bucketed to multiples of MAX_DEPTH for stable jit shapes."""
-    n = tree.n_nodes
-    is_parent = np.zeros(n, bool)
-    pids = tree.parent[1:n]
-    is_parent[pids[pids >= 0]] = True
-    leaves = [i for i in range(1, n) if not is_parent[i]]
-    ids = np.array(leaves if leaves else [0])
+    ids = leaf_ids(tree)
     chains, valid = node_chains(tree, ids)
     return chains, valid, ids
 
@@ -440,13 +484,22 @@ def distance_weight(vmap_state: VirtualMapState, config: ExplorationConfig) -> j
     return pl.distance_weight0 - (pl.distance_weight0 - pl.distance_weight1) * known
 
 
-def optimize2(
-    env_state, config: ExplorationConfig, seed: int = 0
+def _chain_odoms(root: np.ndarray, chain: np.ndarray, valid: np.ndarray):
+    """Odometry sequence along one padded waypoint chain (root-to-node
+    ``between`` steps, matching ``iter_solution`` + ``follow_path``)."""
+    path = [root] + [p for p, v in zip(chain, valid) if v]
+    return [
+        np.asarray(se2.between(jnp.asarray(path[i]), jnp.asarray(path[i + 1])))
+        for i in range(len(path) - 1)
+    ]
+
+
+def _grow_and_pick(
+    env_state, config: ExplorationConfig, seed: int, pick_ids, dubins_config=None
 ) -> tuple[OptimizationResult, list[np.ndarray]]:
-    """Leaf-only EM planner (``EMPlanner2D::optimize2``): grow the tree, score
-    every leaf, return the odometry sequence to the best leaf
-    (root-to-leaf ``between`` steps, matching ``iter_solution`` +
-    ``follow_path``)."""
+    """Shared EM-planner body: grow the tree, score the chains of
+    ``pick_ids(tree)`` (uncertainty + distance-weighted cost), return the
+    odometry sequence to the cheapest one."""
     belief = env_state.belief
     vms = env_state.vmap
     root = np.asarray(bel.current_pose(belief, config))
@@ -459,61 +512,64 @@ def optimize2(
     if max_nodes < 1:
         return OptimizationResult.NO_SOLUTION, []
 
-    planner = HostPlanner(config, seed)
+    planner = HostPlanner(config, seed, dubins_config=dubins_config)
     result, tree = planner.grow(root, landmarks, lm_valid, max_nodes)
     if result != OptimizationResult.SUCCESS:
         return result, []
     if tree.n_nodes <= 1:
         return OptimizationResult.NO_SOLUTION, []
 
-    chains, valid, leaf_ids = leaf_chains(tree)
+    node_ids = np.asarray(pick_ids(tree))
+    chains, valid = node_chains(tree, node_ids)
     uncertainties = np.asarray(
         evaluate_chains(belief, vms, jnp.asarray(chains), jnp.asarray(valid), config)
     )
     dw = float(distance_weight(vms, config))
-    costs = uncertainties + tree.distance[leaf_ids] * dw
+    costs = uncertainties + tree.distance[node_ids] * dw
     best = int(np.argmin(costs))
+    return OptimizationResult.SUCCESS, _chain_odoms(root, chains[best], valid[best])
 
-    # odometry sequence along the best chain
-    path = [root] + [p for p, v in zip(chains[best], valid[best]) if v]
-    odoms = [
-        np.asarray(se2.between(jnp.asarray(path[i]), jnp.asarray(path[i + 1])))
-        for i in range(len(path) - 1)
-    ]
-    return OptimizationResult.SUCCESS, odoms
+
+def optimize2(
+    env_state, config: ExplorationConfig, seed: int = 0, dubins_config=None
+) -> tuple[OptimizationResult, list[np.ndarray]]:
+    """Leaf-only EM planner (``EMPlanner2D::optimize2``): grow the tree, score
+    every leaf, return the odometry sequence to the best leaf."""
+    return _grow_and_pick(env_state, config, seed, leaf_ids, dubins_config)
 
 
 def rrt_plan(
-    env_state, goal_xy: np.ndarray, config: ExplorationConfig, seed: int = 0
+    env_state, goal_xy: np.ndarray, config: ExplorationConfig, seed: int = 0,
+    dubins_config=None,
 ) -> tuple[OptimizationResult, list[np.ndarray]]:
-    """Goal-directed RRT (``EMPlanner2D::rrt_planner``)."""
+    """Goal-directed RRT (``EMPlanner2D::rrt_planner``).
+
+    The path is reconstructed through :func:`node_chains`, so in Dubins
+    connect mode each edge expands to its integrated waypoint chain — the
+    returned odometry is kinematically feasible, same contract as
+    ``optimize``/``optimize2``.  If the tree fills before the goal is
+    attached (the reference has no node cap: it loops until goal-attach or
+    1000 consecutive connect failures, ``Planner2D.cpp:871-923``), this is
+    reported as SAMPLING_FAILURE."""
     belief = env_state.belief
     root = np.asarray(bel.current_pose(belief, config))
     landmarks = np.asarray(bel.lm_mu(belief, config))
     lm_valid = np.asarray(belief.lm_seen)
 
-    planner = HostPlanner(config, seed)
+    planner = HostPlanner(config, seed, dubins_config=dubins_config)
     goal = np.array([goal_xy[0], goal_xy[1], np.pi])
     result, tree = planner.grow(root, landmarks, lm_valid, MAX_TREE, goal=goal)
     if result != OptimizationResult.SUCCESS:
         return result, []
-    # path from the attached goal node (last inserted) back to root
-    path = []
-    node = tree.n_nodes - 1
-    while node > 0 and len(path) < MAX_DEPTH:
-        path.append(tree.poses[node])
-        node = int(tree.parent[node])
-    path = path[::-1]
-    full = [root] + path
-    odoms = [
-        np.asarray(se2.between(jnp.asarray(full[i]), jnp.asarray(full[i + 1])))
-        for i in range(len(full) - 1)
-    ]
-    return OptimizationResult.SUCCESS, odoms
+    if tree.goal_node < 0:
+        return OptimizationResult.SAMPLING_FAILURE, []
+    chains, valid = node_chains(tree, np.array([tree.goal_node]))
+    return OptimizationResult.SUCCESS, _chain_odoms(root, chains[0], valid[0])
 
 
 def optimize(
-    env_state, config: ExplorationConfig, seed: int = 0, leaf_only: bool = True
+    env_state, config: ExplorationConfig, seed: int = 0, leaf_only: bool = True,
+    dubins_config=None,
 ) -> tuple[OptimizationResult, list[np.ndarray]]:
     """``EMPlanner2D::optimize`` (``Planner2D.cpp:1130-1279``).
 
@@ -531,39 +587,7 @@ def optimize(
     belief per insertion (identical scores: each node's chain is evaluated
     from the same root belief either way)."""
     if leaf_only:
-        return optimize2(env_state, config, seed)
-
-    belief = env_state.belief
-    vms = env_state.vmap
-    root = np.asarray(bel.current_pose(belief, config))
-    landmarks = np.asarray(bel.lm_mu(belief, config))
-    lm_valid = np.asarray(belief.lm_seen)
-
-    prob = np.asarray(vms.prob)
-    vl_known = int((prob < config.planner.occupancy_threshold).sum())
-    max_nodes = int(np.floor(vl_known * config.planner.max_nodes))
-    if max_nodes < 1:
-        return OptimizationResult.NO_SOLUTION, []
-
-    planner = HostPlanner(config, seed)
-    result, tree = planner.grow(root, landmarks, lm_valid, max_nodes)
-    if result != OptimizationResult.SUCCESS:
-        return result, []
-    if tree.n_nodes <= 1:
-        return OptimizationResult.NO_SOLUTION, []
-
-    node_ids = np.arange(1, tree.n_nodes)
-    chains, valid = node_chains(tree, node_ids)
-    uncertainties = np.asarray(
-        evaluate_chains(belief, vms, jnp.asarray(chains), jnp.asarray(valid), config)
+        return optimize2(env_state, config, seed, dubins_config)
+    return _grow_and_pick(
+        env_state, config, seed, lambda t: np.arange(1, t.n_nodes), dubins_config
     )
-    dw = float(distance_weight(vms, config))
-    costs = uncertainties + tree.distance[node_ids] * dw
-    best = int(np.argmin(costs))
-
-    path = [root] + [p for p, v in zip(chains[best], valid[best]) if v]
-    odoms = [
-        np.asarray(se2.between(jnp.asarray(path[i]), jnp.asarray(path[i + 1])))
-        for i in range(len(path) - 1)
-    ]
-    return OptimizationResult.SUCCESS, odoms

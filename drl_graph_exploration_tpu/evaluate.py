@@ -316,9 +316,17 @@ def run_batched(args, config, model, params, method: str):
     def measure_policy_latency(states) -> float:
         """Per-decision policy compute time, B=1 (the reference's
         ``Computation time`` column is a single-env wall-clock around the
-        model forward, ``test.py:109-121``).  Synced by fetching the output
-        to host — ``block_until_ready`` can return early on the tunneled
-        backend."""
+        model forward, ``test.py:109-121``).
+
+        Methodology: 20 dispatches with ONE final host sync.  A TPU core
+        executes enqueued programs serially, so wall/20 is the true
+        steady-state per-decision time (device compute + amortised dispatch).
+        What it deliberately EXCLUDES is a host sync per call: on this
+        tunneled backend a sync is a ~25 ms RPC — an artifact of the test
+        harness's network hop, not of the chip — which would swamp the
+        quantity being compared.  The reference's number includes its local
+        CUDA sync (µs-scale), so the comparison is steady-state-to-synced;
+        EVAL.md states this."""
         obs, _ = jax.jit(jax.vmap(lambda s: ee.observe(s, config)))(states)
         one = jax.tree.map(lambda x: x[:1], obs)
         if method == "DQN":

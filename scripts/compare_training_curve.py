@@ -38,12 +38,14 @@ def read_curve(path: str) -> tuple[np.ndarray, np.ndarray]:
 
 
 def smooth(vals: np.ndarray, window: int) -> np.ndarray:
-    if window <= 1 or len(vals) < window:
+    """Trailing mean with a partial window at the head (so early-training
+    dynamics plot as their true running mean, not a flat pad)."""
+    if window <= 1 or len(vals) < 2:
         return vals
-    kernel = np.ones(window) / window
-    out = np.convolve(vals, kernel, mode="valid")
-    pad = np.full(len(vals) - len(out), out[0])
-    return np.concatenate([pad, out])
+    c = np.concatenate([[0.0], np.cumsum(vals)])
+    i = np.arange(1, len(vals) + 1)
+    lo = np.maximum(i - window, 0)
+    return (c[i] - c[lo]) / (i - lo)
 
 
 def main() -> None:

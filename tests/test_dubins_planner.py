@@ -5,6 +5,7 @@
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -127,3 +128,29 @@ def test_dubins_optimize2_path_followable_in_env(state0):
         len(odoms), 6
     )
     assert bool(np.isfinite(np.asarray(state.belief.mu)).all())
+
+
+def test_dubins_rrt_plan_path_is_primitive_steps(state0):
+    """Goal-directed rrt_plan in Dubins mode expands every edge to its
+    integrated waypoint chain: each returned odom is one Euler step of a
+    constant-control primitive (|translation| <= v*dt), and the integrated
+    path ends within the connect tolerance of the goal."""
+    lib = pl._dubins_library(COARSE)
+    root = np.asarray(bel.current_pose(state0.belief, CFG))
+    goal = root[:2] + np.array([4.0, 2.0])
+    result, odoms = pl.rrt_plan(state0, goal, DUBINS_CFG, seed=0,
+                                dubins_config=COARSE)
+    if result != pl.OptimizationResult.SUCCESS:
+        pytest.skip(f"planner returned {result} on this world draw")
+    assert len(odoms) >= 2
+    # odoms come from f32 se2.between -> f32-scale tolerance
+    max_step = lib.config.max_v * lib.config.dt + 1e-5
+    for od in odoms:
+        assert np.linalg.norm(np.asarray(od)[:2]) <= max_step
+    pose = jnp.asarray(root)
+    for od in odoms:
+        pose = se2.compose(pose, jnp.asarray(od))
+    assert (
+        np.linalg.norm(np.asarray(pose[:2]) - goal)
+        <= lib.config.tolerance_radius + 1e-6
+    )
