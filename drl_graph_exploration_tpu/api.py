@@ -31,6 +31,10 @@ class ExplorationEnv:
     * ``status() / done() / get_landmark_error() / max_uncertainty_of_trajectory()``.
     """
 
+    # pose-capacity growth ladder for bucketed mode (strictly increasing;
+    # capacities >= the config's max_poses are dropped)
+    BUCKET_LADDER: tuple[int, ...] = (160, 288, 416)
+
     def __init__(
         self,
         map_size: float = 40.0,
@@ -53,7 +57,7 @@ class ExplorationEnv:
             from .env import capacity as cp
 
             top = self.config.capacity.max_poses
-            self._buckets = [p for p in (160, 288, 416) if p < top] + [top]
+            self._buckets = [p for p in self.BUCKET_LADDER if p < top] + [top]
             self._cfgs = {
                 p: cp.with_max_poses(self.config, p) for p in self._buckets
             }
@@ -100,18 +104,25 @@ class ExplorationEnv:
         self._acts_fn = fns["acts"]
         self._rew_fn = fns["rew"]
 
-    def _maybe_grow(self) -> None:
+    def _maybe_grow(self, headroom: int = 1) -> None:
         """Bucketed mode: grow the state before the pose count can fill the
-        current bucket (each primitive step adds exactly one pose)."""
+        current bucket (each primitive step adds exactly one pose).
+
+        ``headroom`` is how many upcoming poses must fit: 1 for a primitive
+        step, ``max_macro_actions`` before reward rollouts — a forked rollout
+        that hits the capacity wall freezes mid-macro and silently loses the
+        remaining information gain (env/reward.py)."""
         if not self.bucketed:
             return
-        cur = self.config.capacity.max_poses
-        idx = self._buckets.index(cur)
-        if idx + 1 >= len(self._buckets):
-            return
-        if int(self.state.belief.n_poses) + 1 >= cur:
-            from .env import capacity as cp
+        from .env import capacity as cp
 
+        while True:
+            cur = self.config.capacity.max_poses
+            idx = self._buckets.index(cur)
+            if idx + 1 >= len(self._buckets):
+                return
+            if int(self.state.belief.n_poses) + headroom < cur:
+                return
             new_cfg = self._cfgs[self._buckets[idx + 1]]
             self.state = cp.grow_state(self.state, self.config, new_cfg)
             self.config = new_cfg
@@ -178,6 +189,9 @@ class ExplorationEnv:
         return out
 
     def rewards_all_goals(self, all_actions=None) -> np.ndarray:
+        # rollouts fork the belief and replay up to max_macro_actions poses —
+        # grow first so they don't hit the bucket's capacity wall mid-macro
+        self._maybe_grow(headroom=self.config.capacity.max_macro_actions)
         norm, raw, self.state = self._rew_fn(self.state, self._frontiers, self._acts)
         self.loop_clo = bool(self.state.loop_clo)
         key_size = int(self.state.belief.n_keys)

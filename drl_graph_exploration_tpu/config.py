@@ -222,6 +222,14 @@ class ExplorationConfig:
             cap = dataclasses.replace(
                 cap, max_landmarks=new_l, max_frontiers=nl + 1
             )
+        # the macro-action capacity must cover the longest line_plan on this
+        # map (the reference's action list is unbounded): 2 rotations +
+        # ceil(diag / max_edge_length) translations + the remainder step
+        need_a = 3 + int(
+            math.ceil(map_size * math.sqrt(2.0) / self.planner.max_edge_length)
+        )
+        if need_a > cap.max_macro_actions:
+            cap = dataclasses.replace(cap, max_macro_actions=-(-need_a // 2) * 2)
         return dataclasses.replace(
             self, environment=env, simulator=sim, capacity=cap
         )

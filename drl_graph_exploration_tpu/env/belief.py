@@ -479,7 +479,6 @@ def add_measurements(
     upd_mask = meas.valid & belief.lm_seen
     new_mask = meas.valid & ~belief.lm_seen
 
-    x = jax.lax.dynamic_slice(belief.mu, (pr,), (3,))
     cov = belief.cov
     c_pose = jax.lax.dynamic_slice(cov, (0, pr), (d, 3))  # (D, 3)
     c_lm = cov[:, lr0:]  # (D, 2L) — landmark block is contiguous
@@ -496,8 +495,14 @@ def add_measurements(
 
     # ------------------------------------------- batched landmark insertion
     # (unconditional: under vmap a lax.cond lowers to select and would run
-    # both branches anyway)
-    mu, cov = _insert_landmarks(mu, cov, x, jnp.asarray(pr), meas, new_mask, config)
+    # both branches anyway).  The augmentation linearises at the POST-update
+    # pose mean — the same point the post-update covariance rows describe;
+    # initialising from the pre-IEKF pose would misplace the landmark by the
+    # update's pose correction without reflecting it in the covariance.
+    x_post = jax.lax.dynamic_slice(mu, (pr,), (3,))
+    mu, cov = _insert_landmarks(
+        mu, cov, x_post, jnp.asarray(pr), meas, new_mask, config
+    )
 
     meas_z, pair_seen, key_log, n_keys, lm_key_pos = _meas_bookkeeping(
         belief, t, meas, new_mask, config
@@ -643,8 +648,13 @@ def _step_update_impl(
         cov = aug - c_mat - c_mat.T
 
     # ------------------------------------------------------ insertion (thin)
+    # linearised at the post-IEKF pose mean, consistently with the
+    # post-update covariance rows it builds cross-covariances from (when
+    # frozen the slot holds a stale pose, but new_mask is all-False so the
+    # insertion is an exact no-op)
+    x_post = jax.lax.dynamic_slice(mu_post, (r_new,), (3,))
     mu_post, cov = _insert_landmarks(
-        mu_post, cov, new, jnp.asarray(r_new), meas, new_mask, config
+        mu_post, cov, x_post, jnp.asarray(r_new), meas, new_mask, config
     )
 
     # ----------------------------------------------------------- bookkeeping
@@ -809,8 +819,8 @@ def gauss_newton_refresh(
         lam = jnp.zeros((d, d))
         rhs = jnp.zeros((d,))
 
-        # prior on pose 0 (local-frame info -> global via T)
-        t0 = se2.local_to_global_pose_jac(pm[0, 2])
+        # prior on pose 0 (local-frame info -> global via the residual's
+        # own jacobian below)
         r0 = _odom_residual(belief.prior_pose, pm[0], jnp.zeros(3))
         # residual of prior = local(prior_pose, x0); jacobian wrt x0 global:
         j0 = jax.jacfwd(lambda x: _odom_residual(belief.prior_pose, x, jnp.zeros(3)))(

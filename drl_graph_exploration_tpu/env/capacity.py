@@ -120,9 +120,14 @@ class BucketSchedule:
             raise ValueError("buckets must be increasing")
         self.buckets = list(buckets)
         self.poses = initial_poses
-        self.idx = next(
-            i for i, b in enumerate(buckets) if b > initial_poses
-        )
+        fits = [i for i, b in enumerate(buckets) if b > initial_poses]
+        if not fits:
+            raise ValueError(
+                f"no bucket in {buckets} is larger than initial_poses="
+                f"{initial_poses}; the schedule must end above the episode's "
+                "starting pose count"
+            )
+        self.idx = fits[0]
 
     @property
     def current(self) -> int:

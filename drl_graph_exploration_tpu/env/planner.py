@@ -35,6 +35,7 @@ from ..geometry import se2
 from . import belief as bel
 from . import virtual_map as vm
 from .belief import BeliefState
+from .reward import distance_weight
 from .virtual_map import VirtualMapState
 from .world import Measurements
 
@@ -349,7 +350,10 @@ def node_chains(
         path: list[np.ndarray] = []
         node = int(nid)
         depth = 0
-        while node > 0 and depth < MAX_DEPTH:
+        # walk all the way to the root: truncating deep chains would emit a
+        # single teleport odometry from the root to the first kept waypoint
+        # (parents always precede children, so n_nodes hops bound the walk)
+        while node > 0 and depth < tree.n_nodes:
             if tree.waypoints is not None and tree.waypoints[node] is not None:
                 path = list(tree.waypoints[node]) + path
             else:
@@ -475,13 +479,8 @@ def evaluate_chains(
     return jax.lax.map(lambda args: one_chain(*args), (chains, chain_valid))
 
 
-def distance_weight(vmap_state: VirtualMapState, config: ExplorationConfig) -> jax.Array:
-    """Adaptive distance weight (``Planner2D.cpp:1327-1333``)."""
-    pl = config.planner
-    known = jnp.mean(
-        (vmap_state.prob < pl.occupancy_threshold).astype(jnp.float32)
-    )
-    return pl.distance_weight0 - (pl.distance_weight0 - pl.distance_weight1) * known
+# distance_weight: single definition shared with the rollout utility —
+# imported from env/reward.py at the top of this module.
 
 
 def _chain_odoms(root: np.ndarray, chain: np.ndarray, valid: np.ndarray):

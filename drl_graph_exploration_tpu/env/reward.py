@@ -25,20 +25,27 @@ from .virtual_map import VirtualMapState
 from .world import WorldState
 
 
+def distance_weight(
+    vmap_state: VirtualMapState, config: ExplorationConfig
+) -> jax.Array:
+    """Adaptive distance weight (``Planner2D.cpp:343-366, 1327-1333``):
+    interpolates from ``distance_weight0`` to ``distance_weight1`` as the
+    fraction of known cells (prob < occupancy_threshold) grows.  Single
+    definition — the planner's cost and the rollout utility share it."""
+    pl = config.planner
+    known = jnp.mean(
+        (vmap_state.prob < pl.occupancy_threshold).astype(jnp.float32)
+    )
+    return pl.distance_weight0 - (pl.distance_weight0 - pl.distance_weight1) * known
+
+
 def calculate_utility(
     vmap_state: VirtualMapState, distance: jax.Array, config: ExplorationConfig
 ) -> jax.Array:
     """Sum of per-cell covariance traces + adaptive distance weight
-    (``Planner2D.cpp:343-366``): weight interpolates from ``distance_weight0``
-    to ``distance_weight1`` as the fraction of known cells
-    (prob < occupancy_threshold) grows."""
-    pl = config.planner
+    (``Planner2D.cpp:343-366``)."""
     uncertainty = jnp.sum(vm.to_cov_trace(vmap_state))
-    known = jnp.mean(
-        (vmap_state.prob < pl.occupancy_threshold).astype(jnp.float32)
-    )
-    weight = pl.distance_weight0 - (pl.distance_weight0 - pl.distance_weight1) * known
-    return uncertainty + distance * weight
+    return uncertainty + distance * distance_weight(vmap_state, config)
 
 
 def rollout_reward(
@@ -68,12 +75,17 @@ def rollout_reward(
         w, b, dist = carry
         odom, valid, k = inputs
         km, ks = jax.random.split(k)
+        # if the forked belief hits pose capacity mid-rollout, the belief
+        # update freezes (step_update no-op) — the distance cost must freeze
+        # with it, or long-goal rewards keep paying distance for steps that
+        # gained no information (the rollout effectively ends here)
+        alive = jnp.asarray(valid, bool) & (b.n_poses < config.capacity.max_poses)
         dist = dist + jnp.where(
-            valid, jnp.sqrt(odom[0] ** 2 + odom[1] ** 2 + aw * odom[2] ** 2), 0.0
+            alive, jnp.sqrt(odom[0] ** 2 + odom[1] ** 2 + aw * odom[2] ** 2), 0.0
         )
-        w2, _ = wd.move(w, odom, km, config, valid=valid)
+        w2, _ = wd.move(w, odom, km, config, valid=alive)
         meas = wd.measure(w2, ks, config)
-        b2 = bel.step_update(b, odom, meas, config, enabled=valid)
+        b2 = bel.step_update(b, odom, meas, config, enabled=alive)
         return (w2, b2, dist), None
 
     keys = jax.random.split(key, actions.odoms.shape[0])
