@@ -1,0 +1,86 @@
+"""tools/train_supervisor.py: failure detection + elastic restart.
+
+The aux-subsystem contract (SURVEY.md §5 "failure detection / elastic
+recovery"): a trainer that stops making progress is killed and relaunched
+from the last checkpoint; the restart budget bounds the loop; a clean exit
+ends supervision.  Exercised here with a stub trainer script so no XLA
+compile is involved.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SUPERVISOR = os.path.join(REPO, "tools", "train_supervisor.py")
+
+STALLING_TRAINER = """\
+import argparse, os, time
+ap = argparse.ArgumentParser()
+ap.add_argument("--out-dir", required=True)
+ap.add_argument("--resume", default=None)
+args, _ = ap.parse_known_args()
+with open(os.path.join(args.out_dir, "runs.txt"), "a") as f:
+    f.write(f"resume={args.resume}\\n")
+with open(os.path.join(args.out_dir, "trainer_state.msgpack"), "ab") as f:
+    f.write(b"ckpt")
+print("x" * 4000, flush=True)  # real progress, then stall forever
+time.sleep(600)
+"""
+
+CLEAN_TRAINER = """\
+import argparse
+ap = argparse.ArgumentParser()
+ap.add_argument("--out-dir", required=True)
+ap.add_argument("--resume", default=None)
+ap.parse_known_args()
+print("done", flush=True)
+"""
+
+
+def _run_supervisor(tmp_path, trainer_src, max_restarts, timeout=60.0):
+    stub = tmp_path / "stub_trainer.py"
+    stub.write_text(trainer_src)
+    out_dir = tmp_path / "run"
+    r = subprocess.run(
+        [
+            sys.executable,
+            SUPERVISOR,
+            "--out-dir", str(out_dir),
+            "--trainer", str(stub),
+            "--stall-sec", "1.0",
+            "--first-stall-sec", "1.0",
+            "--poll-sec", "0.3",
+            "--restart-delay-sec", "0.1",
+            "--max-restarts", str(max_restarts),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    return r, out_dir
+
+
+def test_supervisor_kills_stalled_trainer_and_resumes(tmp_path):
+    r, out_dir = _run_supervisor(tmp_path, STALLING_TRAINER, max_restarts=2)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "restart #1" in r.stdout
+    assert "restart budget exhausted" in r.stdout
+
+    runs = (out_dir / "runs.txt").read_text().splitlines()
+    # initial launch + 2 restarts
+    assert len(runs) == 3, runs
+    # first launch starts fresh; every restart resumes from the checkpoint
+    assert runs[0] == "resume=None"
+    ckpt = str(out_dir / "trainer_state.msgpack")
+    assert runs[1] == f"resume={ckpt}"
+    assert runs[2] == f"resume={ckpt}"
+
+
+def test_supervisor_returns_on_clean_exit(tmp_path):
+    r, _ = _run_supervisor(tmp_path, CLEAN_TRAINER, max_restarts=2)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "training finished" in r.stdout
+    assert "restart" not in r.stdout

@@ -21,11 +21,13 @@ import sys
 import time
 
 
-def launch(train_args, out_dir, resume, log_path):
+def launch(train_args, out_dir, resume, log_path, trainer="drl_graph_exploration_tpu.train"):
+    if trainer.endswith(".py"):
+        head = [sys.executable, trainer]  # test stubs: a plain script path
+    else:
+        head = [sys.executable, "-m", trainer]
     cmd = [
-        sys.executable,
-        "-m",
-        "drl_graph_exploration_tpu.train",
+        *head,
         *train_args,
         "--out-dir",
         out_dir,
@@ -47,6 +49,12 @@ def main() -> None:
                     help="stall window until the first decision line (cold "
                          "XLA compiles are silent and can take >30 min)")
     ap.add_argument("--max-restarts", type=int, default=20)
+    ap.add_argument("--trainer", default="drl_graph_exploration_tpu.train",
+                    help="trainer module (or a .py script path, for tests)")
+    ap.add_argument("--poll-sec", type=float, default=10.0)
+    ap.add_argument("--restart-delay-sec", type=float, default=5.0)
+    ap.add_argument("--progress-bytes", type=int, default=2048,
+                    help="log growth that counts as real output, not banners")
     ap.add_argument("train_args", nargs=argparse.REMAINDER,
                     help="arguments after -- go to the trainer")
     args = ap.parse_args()
@@ -57,12 +65,12 @@ def main() -> None:
     ckpt = os.path.join(args.out_dir, "trainer_state.msgpack")
 
     restarts = 0
-    proc = launch(train_args, args.out_dir, None, log_path)
+    proc = launch(train_args, args.out_dir, None, log_path, args.trainer)
     last_size = -1
     last_progress = time.time()
     saw_progress = False
     while True:
-        time.sleep(10.0)
+        time.sleep(args.poll_sec)
         ret = proc.poll()
         if ret is not None:
             if ret == 0:
@@ -72,7 +80,10 @@ def main() -> None:
         else:
             size = os.path.getsize(log_path) if os.path.exists(log_path) else 0
             if size != last_size:
-                if size - max(last_size, 0) > 2048 or size > 8192:
+                if (
+                    size - max(last_size, 0) > args.progress_bytes
+                    or size > 4 * args.progress_bytes
+                ):
                     saw_progress = True  # real output, not just banners
                 last_size = size
                 last_progress = time.time()
@@ -92,8 +103,8 @@ def main() -> None:
             return
         resume = ckpt if os.path.exists(ckpt) else None
         print(f"[supervisor] restart #{restarts} (resume={bool(resume)})", flush=True)
-        time.sleep(5.0)
-        proc = launch(train_args, args.out_dir, resume, log_path)
+        time.sleep(args.restart_delay_sec)
+        proc = launch(train_args, args.out_dir, resume, log_path, args.trainer)
         last_progress = time.time()
         last_size = -1
         saw_progress = False
