@@ -247,9 +247,41 @@ class SS2D(ExplorationEnv):
     move/measure/optimize/update_virtual_map/simulate granularity for users
     who drive the simulation directly."""
 
+    def _ss2d_fns(self):
+        key = self.config.capacity.max_poses
+        cache = getattr(self, "_ss2d_fn_cache", None)
+        if cache is None:
+            cache = self._ss2d_fn_cache = {}
+        if key not in cache:
+            config = self.config
+            cache[key] = {
+                "flags": jax.jit(lambda s, o: ee.env_step_with_flags(s, o, config)),
+                "move": jax.jit(lambda s, o: ee.simulate_move_only(s, o, config)),
+                "finish": jax.jit(lambda s: ee.simulate_finish_measure(s, config)),
+            }
+        return cache[key]
+
     def simulate(self, odom, core: bool = True) -> bool:
-        _, _, _ = self.step(np.asarray(odom, np.float32))
-        return False  # obstacle flag (safe_distance = 0 in the default config)
+        """Reference return contract (``pyss2d.py:171-206``): True on an
+        out-of-bounds odometry (no step taken) or when an obstacle is
+        detected.  ``core=False`` does move + odometry factor + obstacle
+        bookkeeping only, completing the full measurement update only if an
+        obstacle fired (the reference's early-out)."""
+        self._maybe_grow()
+        odom = jnp.asarray(np.asarray(odom, np.float32))
+        fns = self._ss2d_fns()
+        if core:
+            state, obstacle, oob = fns["flags"](self.state, odom)
+            self.state = state
+            self.dist = float(self.state.dist)
+            return bool(obstacle) or bool(oob)
+        state, obstacle, oob = fns["move"](self.state, odom)
+        if bool(oob):
+            return True
+        self.state = state
+        if bool(obstacle):
+            self.state = fns["finish"](self.state)
+        return bool(obstacle)
 
     def simulate_simple(self, odom) -> None:
         self.simulate(odom)
@@ -271,21 +303,41 @@ class SS2D(ExplorationEnv):
         self.render(savefig=figname or f"step{self.step_count}.png")
 
 
-class EMExplorer(ExplorationEnv):
-    """EM-planner facade (reference ``EMExplorer``,
+class EMExplorer(SS2D):
+    """EM-planner facade (reference ``EMExplorer(SS2D)``,
     ``/root/reference/scripts/envs/pyplanner2d.py:56-152``): adds ``plan`` /
     ``rrt_plan`` / ``line_plan`` / ``follow_path`` / ``simulations_reward`` /
-    ``calculate_utility`` on top of the env."""
+    ``calculate_utility`` on top of the sim facade."""
 
     def __init__(self, *args, planner_seed: int = 0, **kwargs):
         super().__init__(*args, **kwargs)
         self.planner_seed = planner_seed
         self._solution: list[np.ndarray] = []
+        self._planner = None  # long-lived: the Halton stream advances across plans
+
+    def reset(self) -> np.ndarray:
+        # the reference builds a fresh EMPlanner2D per episode
+        self._planner = None
+        return super().reset()
+
+    def _host_planner(self):
+        """One planner per explorer, like the reference's ``EMPlanner2D``
+        living for the episode (``pyplanner2d.py:63-65``) — its QRNG advances
+        across calls (``Planner2D.cpp:39``), so a rejected sample window is
+        never replayed verbatim on the next decision."""
+        from .env import planner as pl
+
+        if self._planner is None:
+            self._planner = pl.HostPlanner(self.config, self.planner_seed)
+        return self._planner
 
     def plan(self) -> bool:
         from .env import planner as pl
 
-        result, odoms = pl.optimize2(self.state, self.config, self.planner_seed)
+        result, odoms = pl.optimize2(
+            self.state, self.config, self.planner_seed,
+            planner=self._host_planner(),
+        )
         self._solution = odoms
         return result == pl.OptimizationResult.SUCCESS
 
@@ -293,7 +345,8 @@ class EMExplorer(ExplorationEnv):
         from .env import planner as pl
 
         result, odoms = pl.rrt_plan(
-            self.state, np.asarray(fron, float), self.config, self.planner_seed
+            self.state, np.asarray(fron, float), self.config, self.planner_seed,
+            planner=self._host_planner(),
         )
         self._solution = odoms
         return result == pl.OptimizationResult.SUCCESS
@@ -308,8 +361,11 @@ class EMExplorer(ExplorationEnv):
 
     def follow_path(self, steps: int = 3) -> bool:
         for odom in self._solution[:steps]:
-            _, done, _ = self.step(odom)
-            if done:
+            if self.simulate(odom, core=True):
+                # obstacle / out-of-bounds aborts the path
+                # (``pyplanner2d.py:106-110``)
+                return True
+            if self.done():
                 return True
         return False
 

@@ -213,26 +213,30 @@ class ExplorationConfig:
         )
         nl = int(map_size**2 * 0.005)
         sim = dataclasses.replace(self.simulator, num_landmarks=nl)
-        cap = self.capacity
-        if nl > cap.max_landmarks:
-            # larger maps scatter more landmarks than the default capacity
-            # (map 60/80/100 -> 18/32/50); grow in lane-friendly multiples,
-            # plus one frontier slot per landmark anchor (+ robot)
-            new_l = -(-nl // 16) * 16
-            cap = dataclasses.replace(
-                cap, max_landmarks=new_l, max_frontiers=nl + 1
-            )
-        # the macro-action capacity must cover the longest line_plan on this
-        # map (the reference's action list is unbounded): 2 rotations +
-        # ceil(diag / max_edge_length) translations + the remainder step
-        need_a = 3 + int(
-            math.ceil(map_size * math.sqrt(2.0) / self.planner.max_edge_length)
+        cap = _scale_capacity(
+            self.capacity, nl, map_size * math.sqrt(2.0), self.planner
         )
-        if need_a > cap.max_macro_actions:
-            cap = dataclasses.replace(cap, max_macro_actions=-(-need_a // 2) * 2)
         return dataclasses.replace(
             self, environment=env, simulator=sim, capacity=cap
         )
+
+
+def _scale_capacity(
+    cap: CapacityConfig, nl: int, diag: float, planner: PlannerConfig
+) -> CapacityConfig:
+    """Grow fixed capacities to fit a world: ``nl`` scattered landmarks (the
+    reference's containers are unbounded) and the longest possible
+    ``line_plan`` macro-action (2 rotations + ceil(diag / max_edge_length)
+    translations + the remainder step)."""
+    if nl > cap.max_landmarks:
+        # grow in lane-friendly multiples, plus one frontier slot per
+        # landmark anchor (+ robot)
+        new_l = -(-nl // 16) * 16
+        cap = dataclasses.replace(cap, max_landmarks=new_l, max_frontiers=nl + 1)
+    need_a = 3 + int(math.ceil(diag / planner.max_edge_length))
+    if need_a > cap.max_macro_actions:
+        cap = dataclasses.replace(cap, max_macro_actions=-(-need_a // 2) * 2)
+    return cap
 
 
 def _getfloat(cp: ConfigParser, sec: str, opt: str, default: float) -> float:
@@ -295,6 +299,16 @@ def load_ini(path: str) -> ExplorationConfig:
         sigma_y0=_getfloat(cp, "Simulator", "sigma_y0", 0.05),
         sigma_theta0=math.radians(_getfloat(cp, "Simulator", "sigma_theta0", 0.01)),
     )
+    # capacities must fit the parsed world: the INI can request more
+    # landmarks than the default fixed-capacity arrays hold, and a bigger
+    # map needs longer macro-actions (same scaling as with_map_size)
+    diag = math.hypot(
+        environment.max_x - environment.min_x,
+        environment.max_y - environment.min_y,
+    )
+    capacity = _scale_capacity(
+        base.capacity, simulator.num_landmarks, diag, planner
+    )
     return dataclasses.replace(
         base,
         sensor=sensor,
@@ -303,4 +317,5 @@ def load_ini(path: str) -> ExplorationConfig:
         virtual_map=virtual_map,
         planner=planner,
         simulator=simulator,
+        capacity=capacity,
     )

@@ -10,7 +10,6 @@ wrapper for single-world interactive use lives in ``api.py``.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -110,16 +109,40 @@ def reset(key: jax.Array, config: ExplorationConfig) -> EnvState:
 # primitive step
 
 
-def simulate(
+def _bounds_ok(odom: jax.Array, config: ExplorationConfig) -> jax.Array:
+    # The reference checks the *odometry values* against the map bounds
+    # (pyss2d.py:173-176) — a no-op for primitive actions but kept verbatim.
+    return (
+        (odom[0] > config.map_min_x)
+        & (odom[0] < config.map_max_x)
+        & (odom[1] > config.map_min_y)
+        & (odom[1] < config.map_max_y)
+    )
+
+
+def _obstacle_check(state: EnvState, world, key, config: ExplorationConfig):
+    """Obstacle bookkeeping: a *separate* noisy measurement draw
+    (``pyss2d.py:182-197``); with safe_distance = 0 no obstacle can occur."""
+    obs_meas = wd.measure(world, key, config)
+    sd = config.environment.safe_distance
+    known = state.belief.lm_seen
+    close = obs_meas.valid & (obs_meas.range < sd)
+    return jnp.where(state.cleared, close.any(), (close & ~known).any())
+
+
+def simulate_with_flags(
     state: EnvState,
     odom: jax.Array,
     config: ExplorationConfig,
     enabled: bool | jax.Array = True,
     update_rasters: bool = True,
-) -> EnvState:
+) -> tuple[EnvState, jax.Array, jax.Array]:
     """``SS2D.simulate`` (``pyss2d.py:171-206``) with ``core=True``: bounds
     quirk-check, move + odometry factor, obstacle bookkeeping, measure +
-    measurement factors, belief update, raster rebuild.
+    measurement factors, belief update, raster rebuild.  Returns
+    ``(state, obstacle, out_of_bounds)`` — the reference's return flag is
+    ``obstacle | out_of_bounds`` (an out-of-bounds odometry returns True
+    without stepping, ``pyss2d.py:173-176``).
 
     ``enabled=False`` makes the whole step an exact masked no-op (used for
     padded macro-action slots — cheaper than ``lax.cond`` under ``vmap``).
@@ -127,28 +150,16 @@ def simulate(
     are pure functions of the belief, a caller stepping several primitives
     before reading them can rebuild once at the end with identical values
     (see ``refresh_rasters``)."""
-    # The reference checks the *odometry values* against the map bounds
-    # (pyss2d.py:173-176) — a no-op for primitive actions but kept verbatim.
     # The skip is implemented with masked writes, NOT lax.cond: under vmap a
     # cond lowers to a select over every carried array (a full extra pass
     # over the (D, D) covariance and the rasters).
-    in_bounds = (
-        (odom[0] > config.map_min_x)
-        & (odom[0] < config.map_max_x)
-        & (odom[1] > config.map_min_y)
-        & (odom[1] < config.map_max_y)
-    ) & jnp.asarray(enabled, bool)
+    bounds_ok = _bounds_ok(odom, config)
+    in_bounds = bounds_ok & jnp.asarray(enabled, bool)
 
     km, ko, ks, kn = jax.random.split(state.rng, 4)
     world, _ = wd.move(state.world, odom, km, config, valid=in_bounds)
 
-    # obstacle bookkeeping: a *separate* noisy measurement draw
-    # (pyss2d.py:182-197); with safe_distance = 0 no obstacle can occur.
-    obs_meas = wd.measure(world, ko, config)
-    sd = config.environment.safe_distance
-    known = state.belief.lm_seen
-    close = obs_meas.valid & (obs_meas.range < sd)
-    obstacle = jnp.where(state.cleared, close.any(), (close & ~known).any())
+    obstacle = _obstacle_check(state, world, ko, config)
     cleared = jnp.where(in_bounds, jnp.where(obstacle, False, True), state.cleared)
 
     meas = wd.measure(world, ks, config)
@@ -160,13 +171,82 @@ def simulate(
     if update_rasters:
         vmap_state = vm.update_probability(vmap_state, belief, config)
         vmap_state = vm.update_information(vmap_state, belief, config)
-    return state._replace(
+    state = state._replace(
         world=world,
         belief=belief,
         vmap=vmap_state,
         rng=jnp.where(in_bounds, kn, state.rng),
         step=state.step + jnp.where(in_bounds, 1, 0),
         cleared=cleared,
+    )
+    return state, obstacle & in_bounds, ~bounds_ok
+
+
+def simulate(
+    state: EnvState,
+    odom: jax.Array,
+    config: ExplorationConfig,
+    enabled: bool | jax.Array = True,
+    update_rasters: bool = True,
+) -> EnvState:
+    """:func:`simulate_with_flags` for callers that don't consume the
+    obstacle flag (the batched drivers; safe_distance = 0 in every shipped
+    config)."""
+    state, _, _ = simulate_with_flags(
+        state, odom, config, enabled=enabled, update_rasters=update_rasters
+    )
+    return state
+
+
+def simulate_move_only(
+    state: EnvState, odom: jax.Array, config: ExplorationConfig
+) -> tuple[EnvState, jax.Array, jax.Array]:
+    """``SS2D.simulate(core=False)`` early-out half (``pyss2d.py:171-200``):
+    bounds quirk-check, move + odometry factor (non-core pose, matching
+    ``core_vehicle = (i == step-1)`` at the next optimize,
+    ``SLAM2D.cpp:402-406``), obstacle bookkeeping — no measurement update,
+    no step increment, no raster rebuild.  Returns
+    ``(state, obstacle, out_of_bounds)``; on obstacle the reference falls
+    through to the full update — complete with
+    :func:`simulate_finish_measure`."""
+    bounds_ok = _bounds_ok(odom, config)
+
+    km, ko, kn = jax.random.split(state.rng, 3)
+    world, _ = wd.move(state.world, odom, km, config, valid=bounds_ok)
+
+    obstacle = _obstacle_check(state, world, ko, config) & bounds_ok
+    # core=False never sets cleared back to True (pyss2d.py:194-196)
+    cleared = jnp.where(obstacle, False, state.cleared)
+
+    belief = bel.add_odometry(state.belief, odom, config, core=False)
+    state = state._replace(
+        world=world,
+        belief=belief,
+        rng=jnp.where(bounds_ok, kn, state.rng),
+        cleared=cleared,
+    )
+    return state, obstacle, ~bounds_ok
+
+
+def simulate_finish_measure(
+    state: EnvState, config: ExplorationConfig
+) -> EnvState:
+    """Complete a :func:`simulate_move_only` step the reference way when it
+    reported an obstacle (``pyss2d.py:202-205``): step count, measurement
+    factors + belief update, raster rebuild.  The just-moved pose becomes
+    core (it is the last pose at this optimize, ``SLAM2D.cpp:402-406``)."""
+    ks, kn = jax.random.split(state.rng, 2)
+    meas = wd.measure(state.world, ks, config)
+    belief = bel.add_measurements(state.belief, meas, config)
+    t = belief.n_poses - 1
+    belief = belief._replace(core_mask=belief.core_mask.at[t].set(True))
+    vmap_state = vm.update_probability(state.vmap, belief, config)
+    vmap_state = vm.update_information(vmap_state, belief, config)
+    return state._replace(
+        belief=belief,
+        vmap=vmap_state,
+        rng=kn,
+        step=state.step + 1,
     )
 
 
@@ -180,10 +260,20 @@ def refresh_rasters(state: EnvState, config: ExplorationConfig) -> EnvState:
 
 def refresh_prob(state: EnvState, config: ExplorationConfig) -> EnvState:
     """Rebuild only the occupancy-probability raster (enough for ``is_done``,
-    ``map_entropy`` and frontier detection; the information raster is only
-    consumed by the reward/planner objectives)."""
+    ``map_entropy`` and frontier detection).  NOT enough before a policy
+    decision: the graph observation's frontier features read the information
+    raster's cov trace (``graph.graph_matrix``), so refresh that too
+    (``refresh_info``/``refresh_rasters``) at decision boundaries."""
     return state._replace(
         vmap=vm.update_probability(state.vmap, state.belief, config)
+    )
+
+
+def refresh_info(state: EnvState, config: ExplorationConfig) -> EnvState:
+    """Rebuild only the information raster (consumed by the graph
+    observation's frontier features and the reward/planner objectives)."""
+    return state._replace(
+        vmap=vm.update_information(state.vmap, state.belief, config)
     )
 
 
@@ -201,6 +291,16 @@ def env_step(
         jnp.asarray(enabled, bool), jnp.sqrt(odom[0] ** 2 + odom[1] ** 2), 0.0
     )
     return state._replace(dist=state.dist + dist)
+
+
+def env_step_with_flags(
+    state: EnvState, odom: jax.Array, config: ExplorationConfig
+) -> tuple[EnvState, jax.Array, jax.Array]:
+    """:func:`env_step` that also returns ``(obstacle, out_of_bounds)`` —
+    the stateful ``SS2D.simulate`` facade's return flag."""
+    state, obstacle, oob = simulate_with_flags(state, odom, config)
+    dist = jnp.where(oob, 0.0, jnp.sqrt(odom[0] ** 2 + odom[1] ** 2))
+    return state._replace(dist=state.dist + dist), obstacle, oob
 
 
 def is_done(state: EnvState, config: ExplorationConfig) -> jax.Array:

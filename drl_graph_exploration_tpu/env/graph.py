@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ExplorationConfig
-from ..geometry import se2
 from . import belief as bel
 from .belief import BeliefState
 from .frontier import Frontiers, key_position

@@ -494,7 +494,8 @@ def _chain_odoms(root: np.ndarray, chain: np.ndarray, valid: np.ndarray):
 
 
 def _grow_and_pick(
-    env_state, config: ExplorationConfig, seed: int, pick_ids, dubins_config=None
+    env_state, config: ExplorationConfig, seed: int, pick_ids, dubins_config=None,
+    planner: "HostPlanner | None" = None,
 ) -> tuple[OptimizationResult, list[np.ndarray]]:
     """Shared EM-planner body: grow the tree, score the chains of
     ``pick_ids(tree)`` (uncertainty + distance-weighted cost), return the
@@ -511,7 +512,8 @@ def _grow_and_pick(
     if max_nodes < 1:
         return OptimizationResult.NO_SOLUTION, []
 
-    planner = HostPlanner(config, seed, dubins_config=dubins_config)
+    if planner is None:
+        planner = HostPlanner(config, seed, dubins_config=dubins_config)
     result, tree = planner.grow(root, landmarks, lm_valid, max_nodes)
     if result != OptimizationResult.SUCCESS:
         return result, []
@@ -530,16 +532,22 @@ def _grow_and_pick(
 
 
 def optimize2(
-    env_state, config: ExplorationConfig, seed: int = 0, dubins_config=None
+    env_state, config: ExplorationConfig, seed: int = 0, dubins_config=None,
+    planner: "HostPlanner | None" = None,
 ) -> tuple[OptimizationResult, list[np.ndarray]]:
     """Leaf-only EM planner (``EMPlanner2D::optimize2``): grow the tree, score
-    every leaf, return the odometry sequence to the best leaf."""
-    return _grow_and_pick(env_state, config, seed, leaf_ids, dubins_config)
+    every leaf, return the odometry sequence to the best leaf.
+
+    Pass a long-lived ``planner`` to advance its Halton stream across calls —
+    the reference's ``EMPlanner2D`` holds one ``QRNG`` for its lifetime
+    (``Planner2D.cpp:39``), so successive plans never resample the same
+    point sequence."""
+    return _grow_and_pick(env_state, config, seed, leaf_ids, dubins_config, planner)
 
 
 def rrt_plan(
     env_state, goal_xy: np.ndarray, config: ExplorationConfig, seed: int = 0,
-    dubins_config=None,
+    dubins_config=None, planner: "HostPlanner | None" = None,
 ) -> tuple[OptimizationResult, list[np.ndarray]]:
     """Goal-directed RRT (``EMPlanner2D::rrt_planner``).
 
@@ -555,7 +563,8 @@ def rrt_plan(
     landmarks = np.asarray(bel.lm_mu(belief, config))
     lm_valid = np.asarray(belief.lm_seen)
 
-    planner = HostPlanner(config, seed, dubins_config=dubins_config)
+    if planner is None:
+        planner = HostPlanner(config, seed, dubins_config=dubins_config)
     goal = np.array([goal_xy[0], goal_xy[1], np.pi])
     result, tree = planner.grow(root, landmarks, lm_valid, MAX_TREE, goal=goal)
     if result != OptimizationResult.SUCCESS:
@@ -568,7 +577,7 @@ def rrt_plan(
 
 def optimize(
     env_state, config: ExplorationConfig, seed: int = 0, leaf_only: bool = True,
-    dubins_config=None,
+    dubins_config=None, planner: "HostPlanner | None" = None,
 ) -> tuple[OptimizationResult, list[np.ndarray]]:
     """``EMPlanner2D::optimize`` (``Planner2D.cpp:1130-1279``).
 
@@ -586,7 +595,8 @@ def optimize(
     belief per insertion (identical scores: each node's chain is evaluated
     from the same root belief either way)."""
     if leaf_only:
-        return optimize2(env_state, config, seed, dubins_config)
+        return optimize2(env_state, config, seed, dubins_config, planner)
     return _grow_and_pick(
-        env_state, config, seed, lambda t: np.arange(1, t.n_nodes), dubins_config
+        env_state, config, seed, lambda t: np.arange(1, t.n_nodes), dubins_config,
+        planner,
     )

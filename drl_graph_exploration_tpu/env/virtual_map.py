@@ -134,28 +134,6 @@ def update_probability(
     return vmap_state._replace(prob=prob)
 
 
-def _covariance_intersection(m1: jax.Array, m2: jax.Array) -> jax.Array:
-    """Fast covariance intersection on 2x2 information matrices with the
-    reference's weight clamping (``VirtualMap.cpp:364-377``)."""
-    a = m1[..., 0, 0] * m1[..., 1, 1] - m1[..., 0, 1] * m1[..., 1, 0]
-    b = m2[..., 0, 0] * m2[..., 1, 1] - m2[..., 0, 1] * m2[..., 1, 0]
-    # c = a * tr(m1^-1 m2): for 2x2, tr(m1^-1 m2) = (m1_11 m2_00 + m1_00 m2_11
-    #     - m1_01 m2_10 - m1_10 m2_01) / det(m1)
-    c = (
-        m1[..., 1, 1] * m2[..., 0, 0]
-        + m1[..., 0, 0] * m2[..., 1, 1]
-        - m1[..., 0, 1] * m2[..., 1, 0]
-        - m1[..., 1, 0] * m2[..., 0, 1]
-    )
-    d = a + b - c
-    safe_d = jnp.where(d == 0, 1.0, d)
-    w = 0.5 * (2 * b - c) / safe_d
-    w = jnp.where(d == 0, 0.0, w)
-    w = jnp.where((w < 0) & (d < 0) | (w > 1) & (d > 0), 0.0, w)
-    w = jnp.where((w < 0) & (d > 0) | (w > 1) & (d < 0), 1.0, w)
-    return w[..., None, None] * m1 + (1.0 - w[..., None, None]) * m2
-
-
 def update_information(
     vmap_state: VirtualMapState, belief: BeliefState, config: ExplorationConfig
 ) -> VirtualMapState:
@@ -176,8 +154,6 @@ def update_information(
     cov_local = bel.pose_cov_blocks_local(belief, config)  # (P, 3, 3)
     info_det_ok = 1.0 / jnp.linalg.det(cov_local) > 1e-10
     active = pose_ok & info_det_ok
-
-    r_noise = jnp.diag(jnp.array([s.bearing_noise, s.range_noise]) ** 2)
 
     if config.virtual_map.use_pallas:
         from ..ops.ci_fold import update_information_pallas
@@ -473,7 +449,11 @@ def explored(vmap_state: VirtualMapState, config: ExplorationConfig) -> jax.Arra
     )
     decided = (vmap_state.prob < 0.49) | (vmap_state.prob > 0.6)
     count = jnp.sum(decided & interior)
-    res_i = int(config.virtual_map.resolution)
+    # the reference truncates the resolution to int in the denominator
+    # (``static_cast<int>(getResolution())``, VirtualMap.cpp:341) — mirrored
+    # here, with a >=1 clamp so sub-metre resolutions don't divide by zero
+    # (upstream that case is undefined behaviour)
+    res_i = max(int(config.virtual_map.resolution), 1)
     denom = (config.grid_rows - 40 // res_i) * (config.grid_cols - 40 // res_i)
     return count.astype(jnp.float32) / float(max(denom, 1))
 

@@ -61,6 +61,12 @@ def scatter_landmarks(
     env = config.environment
     nl = config.simulator.num_landmarks
     cap = config.capacity.max_landmarks
+    if nl > cap:
+        raise ValueError(
+            f"num_landmarks={nl} exceeds capacity.max_landmarks={cap}; "
+            "scale the capacity (with_map_size/load_ini do this) instead of "
+            "silently scattering a truncated world"
+        )
 
     def round_body(carry, k):
         pts, ok = carry
@@ -134,9 +140,13 @@ def move(
     noise = jax.random.normal(key, (3,)) * sigmas
     new_pose = se2.compose(se2.compose(world.pose, odom), noise)
     new_pose = jnp.where(v, new_pose, world.pose)
+    # at pose capacity the belief freezes (belief.step_update), so the
+    # trajectory write is dropped rather than clamped — slot P-1 must keep
+    # the pose the belief's final slot refers to, not be overwritten by
+    # later ground-truth motion
     idx = jnp.where(
-        v,
-        jnp.minimum(world.n_poses, config.capacity.max_poses - 1),
+        v & (world.n_poses < config.capacity.max_poses),
+        world.n_poses,
         config.capacity.max_poses + 1,  # out of bounds -> write dropped
     )
     world = world._replace(

@@ -242,6 +242,11 @@ def run_batched(args, config, model, params, method: str):
     states = jax.jit(jax.vmap(lambda k: ee.reset(k, config)))(keys)
 
     def decision(states, finished, metrics, cursors, *, config, n):
+        # the macro loop below keeps the information raster lazy (only the
+        # prob raster feeds per-step metrics/done); the graph observation's
+        # frontier features read its cov trace, so rebuild it here — the
+        # same decision-boundary cadence the trainers use (rl/dqn.py:225)
+        states = jax.vmap(lambda s: ee.refresh_info(s, config))(states)
         obs, frontiers = jax.vmap(lambda s: ee.observe(s, config))(states)
         fmask = jax.vmap(lambda ks, fs: frontier_slot_mask(ks, fs, n))(
             obs.key_size, obs.fro_size
@@ -271,9 +276,9 @@ def run_batched(args, config, model, params, method: str):
                 s, fin, met, cur = carry
                 od, v = inp
                 do_step = v & ~fin
-                # masked no-op step; only the prob raster is consumed during
-                # evaluation (metrics/done/frontiers), so the information
-                # raster stays lazy
+                # masked no-op step; only the prob raster feeds the per-step
+                # metrics/done, so the information raster stays lazy here
+                # and is rebuilt once per decision (see decision())
                 s = ee.env_step(s, od, config, enabled=do_step, update_rasters=False)
                 s = ee.refresh_prob(s, config)
                 done = ee.is_done(s, config)

@@ -5,7 +5,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from drl_graph_exploration_tpu.config import CapacityConfig, ExplorationConfig
+from drl_graph_exploration_tpu.config import (
+    CapacityConfig,
+    ExplorationConfig,
+    SimulatorConfig,
+)
 from drl_graph_exploration_tpu.env import belief as bel
 from drl_graph_exploration_tpu.env import world
 from drl_graph_exploration_tpu.env.world import Measurements
@@ -18,6 +22,7 @@ CFG = dataclasses.replace(
         max_poses=8, max_landmarks=4, max_measurements=32, max_frontiers=5,
         max_macro_actions=8,
     ),
+    simulator=SimulatorConfig(num_landmarks=4),
 )
 
 

@@ -5,13 +5,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from drl_graph_exploration_tpu.config import CapacityConfig, ExplorationConfig
+from drl_graph_exploration_tpu.config import (
+    CapacityConfig,
+    ExplorationConfig,
+    SimulatorConfig,
+)
 from drl_graph_exploration_tpu.env import actions as act
 from drl_graph_exploration_tpu.env import frontier as fr
 
 CFG = dataclasses.replace(
     ExplorationConfig(),
     capacity=CapacityConfig(max_poses=12, max_landmarks=4, max_measurements=64),
+    simulator=SimulatorConfig(num_landmarks=4),
 )
 
 

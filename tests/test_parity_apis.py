@@ -5,7 +5,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from drl_graph_exploration_tpu.config import CapacityConfig, ExplorationConfig
+from drl_graph_exploration_tpu.config import (
+    CapacityConfig,
+    ExplorationConfig,
+    SimulatorConfig,
+)
 from drl_graph_exploration_tpu.env import belief as bel
 from drl_graph_exploration_tpu.env import virtual_map as vm
 from drl_graph_exploration_tpu.env import world
@@ -14,6 +18,7 @@ from drl_graph_exploration_tpu.ops import neighbors as nb
 CFG = dataclasses.replace(
     ExplorationConfig(),
     capacity=CapacityConfig(max_poses=8, max_landmarks=4, max_measurements=32),
+    simulator=SimulatorConfig(num_landmarks=4),
 )
 
 

@@ -8,7 +8,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from drl_graph_exploration_tpu.config import CapacityConfig, ExplorationConfig
+from drl_graph_exploration_tpu.config import (
+    CapacityConfig,
+    ExplorationConfig,
+    SimulatorConfig,
+)
 from drl_graph_exploration_tpu.env import belief as bel
 from drl_graph_exploration_tpu.env import virtual_map as vm
 from drl_graph_exploration_tpu.env import world
@@ -16,6 +20,7 @@ from drl_graph_exploration_tpu.env import world
 CFG = dataclasses.replace(
     ExplorationConfig(),
     capacity=CapacityConfig(max_poses=12, max_landmarks=4, max_measurements=64),
+    simulator=SimulatorConfig(num_landmarks=4),
 )
 
 L_FREE = math.log(0.3 / 0.7)
@@ -221,6 +226,7 @@ def test_striped_information_sweep_matches_full():
             max_poses=40, max_landmarks=4, max_measurements=256,
             max_frontiers=5, max_macro_actions=10,
         ),
+        simulator=SimulatorConfig(num_landmarks=4),
     )
     state = ee.reset(jax.random.PRNGKey(2), cfg)
     odoms = [jnp.array([1.2, 0.0, 0.5]), jnp.array([1.4, 0.2, -0.3])]
