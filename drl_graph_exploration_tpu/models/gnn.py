@@ -46,6 +46,21 @@ def normalize_adjacency(adj: jax.Array, node_valid: jax.Array) -> jax.Array:
     return a * inv_sqrt[..., :, None] * inv_sqrt[..., None, :]
 
 
+def masked_softmax(logits: jax.Array, mask: jax.Array) -> jax.Array:
+    """Softmax restricted to ``mask``; an all-False row yields exact zeros
+    instead of NaN so the trainers can weight such samples out of the loss.
+
+    NaN-safety matters for *gradients* too: ``softmax(where(mask, x, -inf))``
+    on an all-masked row is NaN, and a NaN that reaches the backward pass
+    poisons the whole parameter tree even if a later ``jnp.where`` discards
+    the forward value — so sanitise before the exp with a finite floor
+    (``exp`` underflows to exactly 0 for in-mask rows)."""
+    neg = jnp.finfo(logits.dtype).min
+    z = jax.nn.softmax(jnp.where(mask, logits, neg), axis=-1)
+    z = z * mask.astype(z.dtype)  # all-masked rows: uniform -> exact zeros
+    return z
+
+
 def dropout(x: jax.Array, p: jax.Array, key: jax.Array | None) -> jax.Array:
     """Functional dropout matching ``F.dropout``: active whenever p > 0."""
     if key is None:
@@ -94,8 +109,7 @@ class PolicyGCN(nn.Module):
         x = nn.relu(GCNConv(HIDDEN, name="conv2")(x, a, node_valid))
         x = dropout(x, jnp.float32(0.5), dropout_key)
         logits = nn.Dense(1, name="fully_con1")(x)[..., 0]
-        logits = jnp.where(action_mask, logits, -jnp.inf)
-        return jax.nn.softmax(logits, axis=-1)  # zeros off-mask
+        return masked_softmax(logits, action_mask)  # zeros off-mask
 
 
 class ValueGCN(nn.Module):
@@ -168,8 +182,7 @@ class PolicyGGNN(nn.Module):
         x = nn.relu(GatedGraphConv(name="gconv1")(features, adj, node_valid))
         x = dropout(x, jnp.float32(0.5), dropout_key)
         logits = nn.Dense(1, name="fully_con1")(x)[..., 0]
-        logits = jnp.where(action_mask, logits, -jnp.inf)
-        return jax.nn.softmax(logits, axis=-1)
+        return masked_softmax(logits, action_mask)
 
 
 class ValueGGNN(nn.Module):
@@ -323,8 +336,7 @@ class PolicyGraphUNet(nn.Module):
         x = nn.relu(x)
         x = dropout(x, jnp.float32(0.5), dropout_key)
         logits = nn.Dense(1, name="fully_con1")(x)[..., 0]
-        logits = jnp.where(action_mask, logits, -jnp.inf)
-        return jax.nn.softmax(logits, axis=-1)
+        return masked_softmax(logits, action_mask)
 
 
 class ValueGraphUNet(nn.Module):

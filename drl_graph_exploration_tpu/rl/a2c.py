@@ -33,7 +33,7 @@ from ..env import exploration_env as ee
 from ..env import virtual_map as vm
 from ..env.exploration_env import EnvState
 from . import replay as rp
-from .dqn import frontier_slot_mask
+from .dqn import _observe_sparse, frontier_slot_mask, reset_where_done, run_macro
 from .replay import SparseGraph
 
 
@@ -130,24 +130,39 @@ def a2c_losses(
     flat = jax.tree.map(lambda x: x.reshape(t * b, *x.shape[2:]), buf.s)
     feats, adj, valid = jax.vmap(lambda g: rp.densify(g, n))(flat)
     mask = jax.vmap(lambda g: frontier_slot_mask(g.key_size, g.fro_size, n))(flat)
-    ka, kc = jax.random.split(key)
+    ka = kc = None  # key=None: deterministic forward (tests/eval)
+    if key is not None:
+        ka, kc = jax.random.split(key)
 
     probs = actor.apply(
         actor_params, feats, adj, valid, mask, dropout_key=ka
     )  # (t*b, N)
     values = critic.apply(critic_params, feats, adj, valid, dropout_key=kc)  # (t*b,)
 
+    # samples stored at episode end with no frontier carry a fabricated
+    # action (the reference terminates before appending, policy.py:357-399):
+    # weight them out of every term.  masked_softmax keeps their prob rows
+    # exact zeros (no NaN), so the weighted terms are well-defined.
+    w = mask.any(axis=-1).astype(jnp.float32)  # (t*b,)
+    # per-sample means: the reference divides its nstep-sample sums by nstep
+    # at batch size 1 (policy.py:452-472) — with B envs that is /(t*b), NOT
+    # /t (which would scale the actor and entropy terms by n_envs relative
+    # to the value term and make training dynamics depend on the env batch)
+    denom = float(t * b)
+
     eps = 1e-35
     probs = probs + eps
     action = buf.action_node.reshape(-1)
     logp_sel = jnp.log(jnp.take_along_axis(probs, action[:, None], axis=-1)[:, 0])
     adv = (returns - buf.value).reshape(-1)  # detached advantage
-    policy_loss = jnp.sum(-logp_sel * adv) / rl.nstep
+    policy_loss = jnp.sum(-logp_sel * adv * w) / denom
 
-    value_loss = jnp.mean((values - returns.reshape(-1)) ** 2)
+    value_loss = jnp.sum(w * (values - returns.reshape(-1)) ** 2) / denom
 
     p_det = jax.lax.stop_gradient(probs)
-    entropy = -jnp.sum(jnp.where(mask, p_det * jnp.log(p_det), 0.0)) / rl.nstep
+    entropy = (
+        -jnp.sum(jnp.where(mask, p_det * jnp.log(p_det), 0.0) * w[:, None]) / denom
+    )
 
     loss = policy_loss - entropy * rl.ent_coef + value_loss * rl.vf_coef
     return loss, (policy_loss, value_loss, entropy)
@@ -206,17 +221,9 @@ def decision_step_impl(
     # execute ----------------------------------------------------------------
     chosen = jax.vmap(lambda a, g: jax.tree.map(lambda x: x[g], a))(acts, goal_idx)
 
-    def run_env(env, odoms, valid):
-        def body(e, inp):
-            od, v = inp
-            # masked no-op for padding slots; rasters rebuilt once after the
-            # scan (pure functions of the belief -> bit-identical)
-            return ee.env_step(e, od, config, enabled=v, update_rasters=False), None
-
-        env, _ = jax.lax.scan(body, env, (odoms, valid))
-        return ee.refresh_rasters(env, config)
-
-    envs = jax.vmap(run_env)(envs, chosen.odoms, chosen.valid)
+    envs = jax.vmap(lambda e, o, v: run_macro(e, o, v, config))(
+        envs, chosen.odoms, chosen.valid
+    )
     done = jax.vmap(lambda e: ee.is_done(e, config))(envs) | no_frontier
     current_done = done | envs.loop_clo
 
@@ -235,12 +242,16 @@ def decision_step_impl(
     # learn when the n-step buffer is full ----------------------------------
     def do_train(args):
         actor_params, critic_params, opt_state = args
-        # bootstrap from the value of the *next* observation
-        _o1, _f1, s1_sparse = jax.vmap(
-            lambda e: _observe_sparse(e, config, rl.edge_cap)
-        )(envs)
-        f1, a1, v1 = jax.vmap(lambda g: rp.densify(g, n))(s1_sparse)
-        last_value = critic.apply(critic_params, f1, a1, v1, dropout_key=k_boot)
+        # bootstrap from the value of the *next* observation, computed on the
+        # exact dense graph (buffer samples go through the edge-capped sparse
+        # form because they must be *stored*; the bootstrap is consumed
+        # immediately, so the sparsify->densify round-trip would only cost
+        # work and truncation)
+        o1, _f1 = jax.vmap(lambda e: ee.observe(e, config))(envs)
+        last_value = critic.apply(
+            critic_params, o1.features, o1.adjacency, o1.node_valid,
+            dropout_key=k_boot,
+        )
         last_value = jnp.nan_to_num(last_value, nan=0.0, posinf=0.0, neginf=0.0)
 
         def disc(carry, inp):
@@ -259,11 +270,22 @@ def decision_step_impl(
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
-        updates, opt_state = make_optimizer(rl).update(
+        # reject non-finite updates wholesale (same guard as the DQN learner,
+        # dqn.py do_update: one bad batch must not poison the parameters)
+        grad_ok = jnp.all(
+            jnp.array([jnp.isfinite(g).all() for g in jax.tree.leaves(grads)])
+        )
+        updates, new_opt = make_optimizer(rl).update(
             grads, opt_state, (actor_params, critic_params)
         )
-        (actor_params, critic_params) = optax.apply_updates(
-            (actor_params, critic_params), updates
+        new_params = optax.apply_updates((actor_params, critic_params), updates)
+        (actor_params, critic_params) = jax.tree.map(
+            lambda new, old: jnp.where(grad_ok, new, old),
+            new_params,
+            (actor_params, critic_params),
+        )
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(grad_ok, new, old), new_opt, opt_state
         )
         return actor_params, critic_params, opt_state, loss
 
@@ -282,14 +304,7 @@ def decision_step_impl(
 
     # reset finished worlds --------------------------------------------------
     reset_keys = jax.random.split(k_reset, b)
-
-    def maybe_reset(d, k, e):
-        fresh = ee.reset(k, config)
-        return jax.tree.map(
-            lambda a, bb: jnp.where(jnp.reshape(d, (1,) * a.ndim), a, bb), fresh, e
-        )
-
-    envs = jax.vmap(maybe_reset)(done, reset_keys, envs)
+    envs = reset_where_done(done, reset_keys, envs, config)
 
     metrics = {
         "reward": jnp.mean(r_t),
@@ -315,12 +330,6 @@ def decision_step_impl(
         ),
         metrics,
     )
-
-
-def _observe_sparse(env: EnvState, config: ExplorationConfig, e_cap: int):
-    obs, frontiers = ee.observe(env, config)
-    g = rp.sparsify(obs.adjacency, obs.features, obs.key_size, obs.fro_size, e_cap)
-    return obs, frontiers, g
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))

@@ -119,6 +119,33 @@ def _observe_sparse(env: EnvState, config: ExplorationConfig, e_cap: int):
     return obs, frontiers, g
 
 
+def run_macro(env: EnvState, odoms, valid, config: ExplorationConfig) -> EnvState:
+    """Execute one macro-action (shared by the DQN and A2C trainers): scan
+    the primitive slots as masked no-op steps (not ``lax.cond`` — that's a
+    full-state select under vmap) with rasters deferred, then rebuild both
+    rasters once — bit-identical, they are pure functions of the belief."""
+
+    def body(e, inp):
+        od, v = inp
+        return ee.env_step(e, od, config, enabled=v, update_rasters=False), None
+
+    env, _ = jax.lax.scan(body, env, (odoms, valid))
+    return ee.refresh_rasters(env, config)
+
+
+def reset_where_done(done, keys, envs, config: ExplorationConfig):
+    """Re-init finished worlds in place (the reference rebuilds the env per
+    episode); shared by both trainers."""
+
+    def one(d, k, e):
+        fresh = ee.reset(k, config)
+        return jax.tree.map(
+            lambda a, b: jnp.where(jnp.reshape(d, (1,) * a.ndim), a, b), fresh, e
+        )
+
+    return jax.vmap(one)(done, keys, envs)
+
+
 def q_targets(
     target_params, model, s1: SparseGraph, rewards, dones, rl: RLConfig, n: int
 ):
@@ -145,7 +172,12 @@ def dqn_loss(params, model, batch: Transition, y, rl: RLConfig, n: int, key):
         params, feats, adj, valid, dropout_p=jnp.float32(0.5), dropout_key=key
     )  # (B, N)
     q_sel = jnp.take_along_axis(q, batch.action_node[:, None], axis=-1)[:, 0]
-    return jnp.sum((q_sel - y) ** 2) / rl.batch
+    # transitions stored at episode end with no frontier carry a fabricated
+    # action (argmax over an all-masked row -> node 0, a keyframe slot); the
+    # reference terminates before appending such a step (policy.py:131-181),
+    # so weight them out of the regression
+    w = (batch.s.fro_size > 0).astype(q_sel.dtype)
+    return jnp.sum(w * (q_sel - y) ** 2) / rl.batch
 
 
 # every metric decision_step_impl returns, in insertion order (parallel/dp.py
@@ -212,19 +244,9 @@ def decision_step_impl(
     # 4. execute the chosen macro-action ------------------------------------
     chosen = jax.vmap(lambda a, g: jax.tree.map(lambda x: x[g], a))(acts, goal_idx)
 
-    def run_env(env, odoms, valid):
-        def body(e, inp):
-            od, v = inp
-            # masked no-op for padding slots (not lax.cond: full-state select
-            # under vmap); rasters rebuilt once after the scan — they are
-            # pure functions of the belief, so the result is bit-identical
-            e = ee.env_step(e, od, config, enabled=v, update_rasters=False)
-            return e, None
-
-        env, _ = jax.lax.scan(body, env, (odoms, valid))
-        return ee.refresh_rasters(env, config)
-
-    envs = jax.vmap(run_env)(envs, chosen.odoms, chosen.valid)
+    envs = jax.vmap(lambda e, o, v: run_macro(e, o, v, config))(
+        envs, chosen.odoms, chosen.valid
+    )
     done = jax.vmap(lambda e: ee.is_done(e, config))(envs) | no_frontier
     current_done = done | envs.loop_clo
 
@@ -299,8 +321,16 @@ def decision_step_impl(
         }
         return params, opt_state, jnp.float32(0.0), diag
 
+    # warm-up gate on the DEVICE-LOCAL replay fill, not the global decision
+    # count: the reference starts learning after OBSERVE stored transitions
+    # (policy.py:131-181), and on a W-device mesh step_t advances W times
+    # faster than each device's replay shard fills.  Single-device runs are
+    # unchanged (size tracks step_t exactly until the ring wraps).
     params, opt_state, loss, upd_diag = jax.lax.cond(
-        step_t1 > rl.observe, do_update, no_update, (state.params, state.opt_state)
+        new_replay.size > rl.observe,
+        do_update,
+        no_update,
+        (state.params, state.opt_state),
     )
 
     # target-network refresh when crossing a multiple of target_update
@@ -311,14 +341,7 @@ def decision_step_impl(
 
     # 7. reset finished worlds ----------------------------------------------
     reset_keys = jax.random.split(k_reset, b)
-
-    def maybe_reset(d, k, e):
-        fresh = ee.reset(k, config)
-        return jax.tree.map(
-            lambda a, bb: jnp.where(jnp.reshape(d, (1,) * a.ndim), a, bb), fresh, e
-        )
-
-    envs = jax.vmap(maybe_reset)(done, reset_keys, envs)
+    envs = reset_where_done(done, reset_keys, envs, config)
 
     metrics = {
         "reward": jnp.mean(r_t),

@@ -84,3 +84,48 @@ def test_supervisor_returns_on_clean_exit(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "training finished" in r.stdout
     assert "restart" not in r.stdout
+
+
+SLOW_COMPILE_TRAINER = """\
+import argparse, time
+ap = argparse.ArgumentParser()
+ap.add_argument("--out-dir", required=True)
+ap.add_argument("--resume", default=None)
+ap.parse_known_args()
+time.sleep(2.5)  # a silent 'XLA compile' longer than --stall-sec
+print("x" * 4000, flush=True)
+"""
+
+
+def test_supervisor_measures_progress_relative_to_restart_baseline(tmp_path):
+    """The train.log accumulates across restarts; a big inherited log must
+    not count as progress, or a silent compile's window collapses from
+    --first-stall-sec to --stall-sec and the compile is kill-looped."""
+    stub = tmp_path / "stub_trainer.py"
+    stub.write_text(SLOW_COMPILE_TRAINER)
+    out_dir = tmp_path / "run"
+    out_dir.mkdir()
+    # a previous incarnation already filled the log well past the absolute
+    # progress threshold
+    (out_dir / "train.log").write_bytes(b"y" * 9000)
+    r = subprocess.run(
+        [
+            sys.executable,
+            SUPERVISOR,
+            "--out-dir", str(out_dir),
+            "--trainer", str(stub),
+            "--stall-sec", "1.0",
+            "--first-stall-sec", "20.0",
+            "--poll-sec", "0.3",
+            "--restart-delay-sec", "0.1",
+            "--max-restarts", "1",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=60.0,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    # the silent 2.5 s 'compile' must survive the 1 s stall window because
+    # no NEW output appeared — the inherited 9 kB is not progress
+    assert "training finished" in r.stdout
+    assert "stall" not in r.stdout, r.stdout

@@ -65,7 +65,15 @@ def main() -> None:
     ckpt = os.path.join(args.out_dir, "trainer_state.msgpack")
 
     restarts = 0
+    def log_size():
+        return os.path.getsize(log_path) if os.path.exists(log_path) else 0
+
     proc = launch(train_args, args.out_dir, None, log_path, args.trainer)
+    # progress is measured RELATIVE to the log size at (re)launch: the log
+    # accumulates across restarts, so an absolute-size check would flip
+    # saw_progress on banner output alone and shrink a silent XLA compile's
+    # window from --first-stall-sec to --stall-sec, kill-looping the compile
+    base_size = log_size()
     last_size = -1
     last_progress = time.time()
     saw_progress = False
@@ -78,11 +86,11 @@ def main() -> None:
                 return
             print(f"[supervisor] trainer exited {ret}", flush=True)
         else:
-            size = os.path.getsize(log_path) if os.path.exists(log_path) else 0
+            size = log_size()
             if size != last_size:
                 if (
-                    size - max(last_size, 0) > args.progress_bytes
-                    or size > 4 * args.progress_bytes
+                    size - max(last_size, base_size) > args.progress_bytes
+                    or size - base_size > 4 * args.progress_bytes
                 ):
                     saw_progress = True  # real output, not just banners
                 last_size = size
@@ -105,6 +113,7 @@ def main() -> None:
         print(f"[supervisor] restart #{restarts} (resume={bool(resume)})", flush=True)
         time.sleep(args.restart_delay_sec)
         proc = launch(train_args, args.out_dir, resume, log_path, args.trainer)
+        base_size = log_size()
         last_progress = time.time()
         last_size = -1
         saw_progress = False
