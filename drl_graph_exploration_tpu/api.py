@@ -31,9 +31,6 @@ class ExplorationEnv:
     * ``status() / done() / get_landmark_error() / max_uncertainty_of_trajectory()``.
     """
 
-    # pose-capacity growth ladder for bucketed mode (strictly increasing;
-    # capacities >= the config's max_poses are dropped)
-    BUCKET_LADDER: tuple[int, ...] = (160, 288, 416)
 
     def __init__(
         self,
@@ -57,7 +54,9 @@ class ExplorationEnv:
             from .env import capacity as cp
 
             top = self.config.capacity.max_poses
-            self._buckets = [p for p in self.BUCKET_LADDER if p < top] + [top]
+            # shared geometric ladder (env/capacity.bucket_ladder): on large
+            # maps intermediate buckets keep mid-episode belief cost down
+            self._buckets = cp.bucket_ladder(top)
             self._cfgs = {
                 p: cp.with_max_poses(self.config, p) for p in self._buckets
             }
@@ -203,7 +202,7 @@ class ExplorationEnv:
     # ------------------------------------------------------------- metrics
 
     def get_landmark_error(self, sigma0: float = 1.0) -> float:
-        return float(ee.landmark_error(self.state, self.config))
+        return float(ee.landmark_error(self.state, self.config, sigma0))
 
     def max_uncertainty_of_trajectory(self) -> float:
         return float(ee.max_uncertainty_of_trajectory(self.state, self.config))
@@ -339,6 +338,7 @@ class EMExplorer(SS2D):
             planner=self._host_planner(),
         )
         self._solution = odoms
+        self.last_result = result  # full enum for explore()-style callers
         return result == pl.OptimizationResult.SUCCESS
 
     def rrt_plan(self, goal_key: int, fron) -> bool:
@@ -349,6 +349,7 @@ class EMExplorer(SS2D):
             planner=self._host_planner(),
         )
         self._solution = odoms
+        self.last_result = result
         return result == pl.OptimizationResult.SUCCESS
 
     def line_plan(self, goal_key: int, fron) -> list[np.ndarray]:
@@ -474,15 +475,22 @@ def explore(
     explorer = EMExplorer(map_size=map_size, env_index=seed, test=True, config=config)
     status = "MAX_DISTANCE"
     for step in range(max_iterations):
-        ok = explorer.plan()
-        if not ok:
-            # SAMPLING_FAILURE -> rotate in place (reference behaviour)
+        explorer.plan()
+        result = explorer.last_result
+        if result == pl.OptimizationResult.SAMPLING_FAILURE:
+            # rotate in place and replan (pyplanner2d.py:174-175)
             explorer.step(np.array([0.0, 0.0, np.pi / 4]))
             continue
-        if not explorer._solution:
+        if result == pl.OptimizationResult.NO_SOLUTION:
             status = "NO SOLUTION"
             break
-        if explorer.follow_path(5):
+        if result == pl.OptimizationResult.TERMINATION:
+            status = "TERMINATION"
+            break
+        # the reference ignores follow_path's return (an obstacle abort just
+        # replans, pyplanner2d.py:186); done is our explicit extension
+        explorer.follow_path(5)
+        if explorer.done():
             status = "DONE"
             break
         if explorer.distance > max_distance:

@@ -35,6 +35,23 @@ from .exploration_env import EnvState
 from .world import WorldState
 
 
+def bucket_ladder(max_poses: int) -> list[int]:
+    """Pose-capacity buckets for episode drivers (D = 3P + 2L multiples of
+    128 where possible; top bucket = the configured capacity).  Beyond the
+    map-40 ladder the buckets grow geometrically (~1.8x) so long episodes on
+    large maps (map-100 cutoff 4500 steps -> P~4600) don't pay full-capacity
+    O(D^2) belief cost from step ~400 on.  Shared by evaluate.py and the
+    api facades' bucketed mode."""
+    base = [160, 288, 416]
+    out = [p for p in base if p < max_poses]
+    p = base[-1]
+    while p * 2 < max_poses:
+        p = -(-int(p * 1.8) // 32) * 32
+        if p < max_poses:
+            out.append(p)
+    return out + [max_poses]
+
+
 def with_max_poses(config: ExplorationConfig, max_poses: int) -> ExplorationConfig:
     """A config identical to ``config`` but with ``capacity.max_poses`` set."""
     cap = dataclasses.replace(config.capacity, max_poses=max_poses)

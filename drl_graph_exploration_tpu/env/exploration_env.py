@@ -368,10 +368,11 @@ def rewards_all_goals(
 # metrics (reference eval harness)
 
 
-def landmark_error(state: EnvState, config: ExplorationConfig) -> jax.Array:
+def landmark_error(
+    state: EnvState, config: ExplorationConfig, sigma0: float = 1.0
+) -> jax.Array:
     """``exploration_env.py:170-176``: mean position error of estimated
     landmarks + sigma0 penalty per unseen landmark."""
-    sigma0 = 1.0
     est = bel.lm_mu(state.belief, config)
     true = state.world.landmarks
     seen = state.belief.lm_seen & state.world.landmark_valid

@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import csv
 import dataclasses
+import functools
 import os
 import time
 
@@ -68,20 +69,35 @@ def load_params(args, model, config):
         return serialization.from_bytes(params, f.read())
 
 
+@functools.lru_cache(maxsize=None)
+def _episode_fns(config, model, method):
+    """Jitted per-(config, model) episode functions.  Cached on the hashable
+    frozen config/module so the 50-episode loop compiles ONCE — a fresh
+    lambda per episode defeats jit's function-identity cache and recompiles
+    everything every episode."""
+    from .env import exploration_env as ee
+
+    fns = {
+        "reset": jax.jit(lambda k: ee.reset(k, config)),
+        "obs": jax.jit(lambda s: ee.observe(s, config)),
+        "acts": jax.jit(lambda s, f: ee.actions_all_goals(s, f, config)),
+        "step": jax.jit(lambda s, o: ee.env_step(s, o, config)),
+    }
+    if method == "DQN":
+        fns["fwd"] = jax.jit(lambda p, f, a, v: model.apply(p, f, a, v))
+    else:
+        fns["fwd"] = jax.jit(lambda p, f, a, v, m: model.apply(p, f, a, v, m))
+    return fns
+
+
 def run_episode(env_index, args, config, model, params, method):
     from .env import exploration_env as ee
     from .rl.dqn import frontier_slot_mask
 
-    state = jax.jit(lambda k: ee.reset(k, config))(jax.random.PRNGKey(env_index))
-    obs_fn = jax.jit(lambda s: ee.observe(s, config))
-    acts_fn = jax.jit(lambda s, f: ee.actions_all_goals(s, f, config))
-    step_fn = jax.jit(lambda s, o: ee.env_step(s, o, config))
+    fns = _episode_fns(config, model, method)
+    obs_fn, acts_fn, step_fn, fwd = fns["obs"], fns["acts"], fns["step"], fns["fwd"]
+    state = fns["reset"](jax.random.PRNGKey(env_index))
     n = config.capacity.max_nodes
-
-    if method == "DQN":
-        fwd = jax.jit(lambda p, f, a, v: model.apply(p, f, a, v))
-    else:
-        fwd = jax.jit(lambda p, f, a, v, m: model.apply(p, f, a, v, m))
 
     rows = []
     step_t = 0
@@ -159,7 +175,13 @@ def main(argv=None) -> None:
                          "--seed-offset 0 / 25)")
     args = ap.parse_args(argv)
 
-    from .config import CapacityConfig, ExplorationConfig
+    from .config import ExplorationConfig
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     base = ExplorationConfig().with_map_size(args.map_size)
     config = dataclasses.replace(
@@ -200,19 +222,10 @@ def main(argv=None) -> None:
 
 
 def eval_buckets(max_poses: int) -> list[int]:
-    """Pose-capacity buckets for episode drivers (D = 3P + 2L multiples of
-    128 where possible; top bucket = the configured capacity).  Beyond the
-    map-40 ladder the buckets grow geometrically (~1.8x) so long episodes on
-    large maps (map-100 cutoff 4500 steps -> P~4600) don't pay full-capacity
-    O(D^2) cost from step 400 on."""
-    base = [160, 288, 416]
-    out = [p for p in base if p < max_poses]
-    p = base[-1]
-    while p * 2 < max_poses:
-        p = -(-int(p * 1.8) // 32) * 32
-        if p < max_poses:
-            out.append(p)
-    return out + [max_poses]
+    """See :func:`..env.capacity.bucket_ladder` (single shared ladder)."""
+    from .env.capacity import bucket_ladder
+
+    return bucket_ladder(max_poses)
 
 
 def run_batched(args, config, model, params, method: str):
@@ -298,7 +311,11 @@ def run_batched(args, config, model, params, method: str):
                     ),
                 }
                 cur = jnp.where(do_step, cur + 1, cur)
-                fin = fin | (do_step & done)
+                # a lane is also finished at its step cutoff — without this
+                # it keeps stepping (the outer loop only stops when ALL lanes
+                # are done) and overwrites the final metric slot with values
+                # from steps far past the cutoff, biasing the CSV's last row
+                fin = fin | (do_step & done) | (cur >= max_step)
                 return (s, fin, met, cur), None
 
             (s, fin, met, cur), _ = jax.lax.scan(

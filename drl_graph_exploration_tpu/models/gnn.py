@@ -67,7 +67,8 @@ def dropout(x: jax.Array, p: jax.Array, key: jax.Array | None) -> jax.Array:
         return x
     keep = 1.0 - p
     mask = jax.random.bernoulli(key, jnp.maximum(keep, 1e-12), x.shape)
-    return jnp.where(keep > 0, jnp.where(mask, x / jnp.maximum(keep, 1e-12), 0.0), x)
+    # p >= 1 zeroes everything, exactly like F.dropout(p=1)
+    return jnp.where(keep > 0, jnp.where(mask, x / jnp.maximum(keep, 1e-12), 0.0), 0.0)
 
 
 class GCNConv(nn.Module):

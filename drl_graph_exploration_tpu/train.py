@@ -67,7 +67,7 @@ def main(argv=None) -> None:
 
     from flax import serialization
 
-    from .config import CapacityConfig, ExplorationConfig
+    from .config import ExplorationConfig
     from .models import gnn
     from .rl import a2c, dqn
 
@@ -91,9 +91,13 @@ def main(argv=None) -> None:
     reward_path = os.path.join(args.out_dir, "reward_data.csv")
     curve_path = os.path.join(args.out_dir, "temp_reward.csv")
     loss_path = os.path.join(args.out_dir, "temp_loss.csv")
-    rewards_log: list[float] = []
-    curve_rows: list[tuple[int, float]] = []
-    loss_rows: list[tuple[int, float]] = []
+    # on resume, seed the logs from the existing CSVs so the periodic _save
+    # rewrite extends the curves instead of destroying the pre-restart
+    # segment (the supervisor restarts into the same out_dir)
+    rewards_log = _seed_rows(reward_path, skip_header=True) if args.resume else []
+    rewards_log = [r for _, r in rewards_log] if rewards_log else []
+    curve_rows = _seed_rows(curve_path) if args.resume else []
+    loss_rows = _seed_rows(loss_path) if args.resume else []
 
     t_start = time.time()
     tb_writer = None
@@ -192,6 +196,22 @@ def _log(metrics, step_t, rewards_log, curve_rows, i, args, t_start,
         msg = " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
         print(f"[{time.time() - t_start:7.1f}s] decision {i} step_t {step} {msg}",
               flush=True)
+
+
+def _seed_rows(path: str, skip_header: bool = False) -> list[tuple[int, float]]:
+    """Load (step, value) rows from a previous segment's CSV (resume)."""
+    if not os.path.exists(path):
+        return []
+    rows: list[tuple[int, float]] = []
+    try:
+        with open(path, newline="") as f:
+            for i, row in enumerate(csv.reader(f)):
+                if (skip_header and i == 0) or len(row) < 2:
+                    continue
+                rows.append((int(float(row[0])), float(row[1])))
+    except Exception as e:  # noqa: BLE001 - a corrupt CSV must not stop training
+        print(f"[train] could not seed logs from {path} ({e!r})", flush=True)
+    return rows
 
 
 def _write_atomic(path: str, data: bytes) -> None:

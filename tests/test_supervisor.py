@@ -129,3 +129,18 @@ def test_supervisor_measures_progress_relative_to_restart_baseline(tmp_path):
     # no NEW output appeared — the inherited 9 kB is not progress
     assert "training finished" in r.stdout
     assert "stall" not in r.stdout, r.stdout
+
+
+def test_train_seed_rows_roundtrip(tmp_path):
+    """Resume must extend the previous segment's CSVs, not clobber them."""
+    from drl_graph_exploration_tpu.train import _seed_rows
+
+    p = tmp_path / "temp_reward.csv"
+    p.write_text("100,-0.5\n200,-0.25\n")
+    assert _seed_rows(str(p)) == [(100, -0.5), (200, -0.25)]
+
+    r = tmp_path / "reward_data.csv"
+    r.write_text("Step,Reward\n1,-0.9\n2,-0.8\n")
+    assert _seed_rows(str(r), skip_header=True) == [(1, -0.9), (2, -0.8)]
+
+    assert _seed_rows(str(tmp_path / "missing.csv")) == []
