@@ -40,6 +40,9 @@ class DubinsLibrary:
         while v > config.min_v - 1e-10:
             w = 0.0
             while w < config.max_w + 1e-10:
+                # NOTE: the straight (w=0) family is emitted once per sign —
+                # duplicated rows, exactly like the reference's library build
+                # (``Planner2D.cpp:1368-1371``, s in {-1, 1} with w from 0)
                 for s in (-1, 1):
                     ww = w * s
                     pose = np.zeros(3)

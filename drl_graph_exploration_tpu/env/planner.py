@@ -93,29 +93,75 @@ def _dubins_library(dub_config=None):
     return _DUBINS_LIB_CACHE[key]
 
 
+def _np_wrap(t: float) -> float:
+    return float(np.arctan2(np.sin(t), np.cos(t)))
+
+
+def _np_transform_to(pose: np.ndarray, point: np.ndarray) -> np.ndarray:
+    """Host-side ``se2.transform_to`` (same math as native/hostrt.cpp) — the
+    tree grower runs thousands of these per plan; a jnp call each would be a
+    blocking device dispatch."""
+    c, s = np.cos(pose[2]), np.sin(pose[2])
+    dx, dy = point[0] - pose[0], point[1] - pose[1]
+    return np.array([c * dx + s * dy, -s * dx + c * dy])
+
+
+def _np_compose(pose: np.ndarray, delta: np.ndarray) -> np.ndarray:
+    """Host-side ``se2.compose``."""
+    c, s = np.cos(pose[2]), np.sin(pose[2])
+    return np.array(
+        [
+            pose[0] + c * delta[0] - s * delta[1],
+            pose[1] + s * delta[0] + c * delta[1],
+            _np_wrap(pose[2] + delta[2]),
+        ]
+    )
+
+
 class HostPlanner:
     """Deterministic host-side RRT growth with the reference's control flow."""
 
     def __init__(self, config: ExplorationConfig, seed: int = 0, dubins_config=None):
         self.config = config
         rng = np.random.default_rng(seed)
+        # count seeded in [0, 100000) like the reference (Planner2D.cpp:45)
         self.halton_count = int(rng.integers(0, 100000))
         self.dubins_lib = (
             _dubins_library(dubins_config)
             if config.planner.dubins_control_model_enabled
             else None
         )
+        self._hblock: np.ndarray | None = None  # prefetched Halton rows
+        self._hblock_at = 0  # halton index of the block's first row
+
+    _HBLOCK = 128
+
+    def _next_halton(self, dim: int) -> np.ndarray:
+        """One Halton row at ``self.halton_count``, served from a prefetched
+        block: per-sample ``qmc.halton`` calls are device dispatches, and the
+        rejection loop can draw 1000 of them per tree node."""
+        i = self.halton_count
+        blk = self._hblock
+        if blk is None or blk.shape[1] < dim or not (
+            self._hblock_at <= i < self._hblock_at + len(blk)
+        ):
+            self._hblock = np.asarray(qmc.halton(i, self._HBLOCK, 3))
+            self._hblock_at = i
+            blk = self._hblock
+        self.halton_count += 1
+        return blk[i - self._hblock_at, :dim]
 
     def _sample(self, landmarks, lm_valid, safe_distance):
         """``sampleNode`` (``Planner2D.cpp:101-125``): Halton point in map
         bounds, theta = u * 2pi, rejected within ``safe_distance`` of any
         estimated landmark.  Dubins mode samples 2-D points with theta = 0
-        (``Planner2D.cpp:111-113``, qrng dim 2 at ``:41-42``)."""
+        (``Planner2D.cpp:111-113``, qrng dim 2 at ``:41-42``).  The attempt
+        budget is the reference's ``failed > 1000`` (1001 tries), matching
+        the native builder."""
         cfg = self.config
         dim = 2 if self.dubins_lib is not None else 3
-        for _ in range(1000):
-            u = np.asarray(qmc.halton(self.halton_count, 1, dim))[0]
-            self.halton_count += 1
+        for _ in range(1001):
+            u = self._next_halton(dim)
             x = cfg.map_min_x + u[0] * (cfg.map_max_x - cfg.map_min_x)
             y = cfg.map_min_y + u[1] * (cfg.map_max_y - cfg.map_min_y)
             theta = 0.0 if dim == 2 else u[2] * 2.0 * np.pi
@@ -257,19 +303,13 @@ class HostPlanner:
                 new_pose = wps[-1]
                 waypoints[n] = wps
             else:
-                local = np.asarray(
-                    se2.transform_to(jnp.asarray(origin), jnp.asarray(sample[:2]))
-                )
+                local = _np_transform_to(origin, sample[:2])
                 d = np.linalg.norm(local)
                 angle = np.arctan2(local[1], local[0])
                 step = min(d, pl.max_edge_length)
-                new_pose = np.asarray(
-                    se2.compose(
-                        jnp.asarray(origin),
-                        jnp.array(
-                            [step * np.cos(angle), step * np.sin(angle), angle]
-                        ),
-                    )
+                new_pose = _np_compose(
+                    origin,
+                    np.array([step * np.cos(angle), step * np.sin(angle), angle]),
                 )
                 if not self._is_segment_safe(
                     new_pose, origin, landmarks, lm_valid, safe
@@ -313,19 +353,20 @@ class HostPlanner:
                             )[0]
                         )
                     else:
-                        glocal = np.asarray(
-                            se2.transform_to(
-                                jnp.asarray(new_pose), jnp.asarray(goal[:2])
-                            )
-                        )
+                        glocal = _np_transform_to(new_pose, goal[:2])
                         ga = np.arctan2(glocal[1], glocal[0])
                         gd = min(np.linalg.norm(glocal), pl.max_edge_length)
-                        gpose = np.asarray(
-                            se2.compose(
-                                jnp.asarray(new_pose),
-                                jnp.array([gd * np.cos(ga), gd * np.sin(ga), ga]),
-                            )
+                        gpose = _np_compose(
+                            new_pose,
+                            np.array([gd * np.cos(ga), gd * np.sin(ga), ga]),
                         )
+                        # the goal edge is safety-vetted like any other
+                        # (connectNode's isSafe applies to it upstream); an
+                        # unsafe goal edge keeps growing instead of attaching
+                        if not self._is_segment_safe(
+                            gpose, new_pose, landmarks, lm_valid, safe
+                        ):
+                            continue
                         poses[n] = gpose
                         parent[n] = n - 1
                         distance[n] = distance[n - 1] + gd
@@ -363,8 +404,13 @@ def node_chains(
         paths.append(path)
     t = max([MAX_DEPTH] + [len(p) for p in paths])
     t = -(-t // MAX_DEPTH) * MAX_DEPTH
-    chains = np.zeros((max(len(paths), 1), t, 3))
-    valid = np.zeros((max(len(paths), 1), t), bool)
+    # bucket BOTH axes for stable jit shapes: the node count K varies with
+    # every stochastic tree, and an unpadded K recompiles evaluate_chains on
+    # nearly every planning call.  Padded rows are all-invalid (exact no-op
+    # rollouts); callers slice the scores back to the real count.
+    k = -(-max(len(paths), 1) // 16) * 16
+    chains = np.zeros((k, t, 3))
+    valid = np.zeros((k, t), bool)
     for li, path in enumerate(paths):
         chains[li, : len(path)] = np.array(path)
         valid[li, : len(path)] = True
@@ -524,7 +570,7 @@ def _grow_and_pick(
     chains, valid = node_chains(tree, node_ids)
     uncertainties = np.asarray(
         evaluate_chains(belief, vms, jnp.asarray(chains), jnp.asarray(valid), config)
-    )
+    )[: len(node_ids)]  # drop the K-bucket padding rows
     dw = float(distance_weight(vms, config))
     costs = uncertainties + tree.distance[node_ids] * dw
     best = int(np.argmin(costs))

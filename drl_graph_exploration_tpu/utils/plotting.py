@@ -99,8 +99,6 @@ def plot_virtual_map_cov(vmap_state, config, ax=None, alpha=1.0):
     length, angle = vm.to_cov_array(vmap_state, config)
     length = np.asarray(length)
     angle = np.asarray(angle)
-    import jax.numpy as jnp
-
     centers = np.asarray(vm.cell_centers(config))
     r, c = length.shape
     for i in range(r):

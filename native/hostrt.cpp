@@ -198,22 +198,41 @@ int64_t rrt_grow(const double* root, const double* landmarks, int64_t n_lm,
       double gdx = nx - goal[0], gdy = ny - goal[1];
       if (std::sqrt(gdx * gdx + gdy * gdy) <= max_edge_length) {
         // attach the goal node (Planner2D.cpp:910-920)
-        double lgx = c * 0, lgy = 0;  // recompute in the new node frame
+        double lgx = 0, lgy = 0;  // recompute in the new node frame
         double nc = std::cos(nt), ns = std::sin(nt);
         lgx = nc * (goal[0] - nx) + ns * (goal[1] - ny);
         lgy = -ns * (goal[0] - nx) + nc * (goal[1] - ny);
         double ga = std::atan2(lgy, lgx);
         double gd = std::sqrt(lgx * lgx + lgy * lgy);
         if (gd > max_edge_length) gd = max_edge_length;
-        poses[3 * n] = nx + nc * (gd * std::cos(ga)) - ns * (gd * std::sin(ga));
-        poses[3 * n + 1] =
-            ny + ns * (gd * std::cos(ga)) + nc * (gd * std::sin(ga));
-        poses[3 * n + 2] = wrap_angle(nt + ga);
-        parent[n] = n - 1;
-        distance[n] = distance[n - 1] + gd;
-        ++n;
-        *halton_start = h;
-        return n;
+        double gx = nx + nc * (gd * std::cos(ga)) - ns * (gd * std::sin(ga));
+        double gy = ny + ns * (gd * std::cos(ga)) + nc * (gd * std::sin(ga));
+        // the goal edge is safety-vetted like any other (connectNode's
+        // isSafe applies to it upstream); an unsafe goal edge keeps growing
+        bool gsafe = true;
+        if (std::fabs(safe) >= 1e-3 && n_lm > 0) {
+          double segd =
+              std::sqrt((gx - nx) * (gx - nx) + (gy - ny) * (gy - ny));
+          if (segd > 1e-12) {
+            double ux = (nx - gx) / segd, uy = (ny - gy) / segd;
+            for (double l = safe / 2; l < segd; l += safe / 2) {
+              if (!clear_of_landmarks(gx + l * ux, gy + l * uy)) {
+                gsafe = false;
+                break;
+              }
+            }
+          }
+        }
+        if (gsafe) {
+          poses[3 * n] = gx;
+          poses[3 * n + 1] = gy;
+          poses[3 * n + 2] = wrap_angle(nt + ga);
+          parent[n] = n - 1;
+          distance[n] = distance[n - 1] + gd;
+          ++n;
+          *halton_start = h;
+          return n;
+        }
       }
     }
   }

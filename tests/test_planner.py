@@ -132,14 +132,14 @@ def test_optimize_full_tree_beats_or_matches_leaf_only(state0):
             state0.belief, state0.vmap, jnp.asarray(chains_n),
             jnp.asarray(valid_n), CFG,
         )
-    )
+    )[: len(node_ids)]
     chains_l, valid_l, leaf_ids = pl.leaf_chains(tree)
     unc_l = np.asarray(
         pl.evaluate_chains(
             state0.belief, state0.vmap, jnp.asarray(chains_l),
             jnp.asarray(valid_l), CFG,
         )
-    )
+    )[: len(leaf_ids)]
     dw = float(pl.distance_weight(state0.vmap, CFG))
     cost_n = unc_n + tree.distance[node_ids] * dw
     cost_l = unc_l + tree.distance[leaf_ids] * dw
