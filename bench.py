@@ -142,11 +142,17 @@ def episode(seed: int, init_fns, step_fns, refresh_fns, macro_fns, grow_fns):
     sched = cp.BucketSchedule(BUCKETS, initial_poses=1)
     steps = 0
 
-    def one_step(states, odom):
+    # hoist the tiled per-step odom batches out of the timed loop: a fresh
+    # host->device upload per primitive step is a per-iteration RPC on the
+    # tunneled backend and would dominate BENCH_RASTERS=step timings
+    scan_b = jnp.tile(SCAN_ODOM, (B, 1))
+    cycle_b = [jnp.tile(CYCLE[i], (B, 1)) for i in range(4)]
+
+    def one_step(states, odom_b):
         tr = sched.advance()
         if tr is not None:
             states = grow_fns[tr](states)
-        return step_fns[sched.current](states, jnp.tile(odom, (B, 1)))
+        return step_fns[sched.current](states, odom_b)
 
     def one_macro(states, odoms_b):
         """MACRO primitive steps + raster rebuild in one dispatch; grow to
@@ -158,13 +164,13 @@ def episode(seed: int, init_fns, step_fns, refresh_fns, macro_fns, grow_fns):
         return macro_fns[sched.current](states, odoms_b)
 
     for _ in range(4):  # the reference's 360-degree initial scan
-        states = one_step(states, SCAN_ODOM)
+        states = one_step(states, scan_b)
         steps += 1
     if RASTER_MODE != "step":
         states = refresh_fns[sched.current](states)
     if RASTER_MODE == "step":
         for i in range(K):
-            states = one_step(states, CYCLE[i % 4])
+            states = one_step(states, cycle_b[i % 4])
             steps += 1
     else:
         assert K % MACRO == 0, "K must be a multiple of MACRO"

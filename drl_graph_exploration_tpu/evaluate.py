@@ -101,6 +101,7 @@ def run_episode(env_index, args, config, model, params, method):
 
     rows = []
     step_t = 0
+    warmed = False
     max_step = args.max_step or PLOT_MAX_STEP.get(int(args.map_size), 400)
     while step_t < max_step:
         obs, frontiers = obs_fn(state)
@@ -108,19 +109,41 @@ def run_episode(env_index, args, config, model, params, method):
         if fs == 0 or bool(ee.is_done(state, config)):
             break
         mask = frontier_slot_mask(obs.key_size, obs.fro_size, n)
-        t0 = time.perf_counter()
-        if method == "DQN":
-            q = fwd(params, obs.features, obs.adjacency, obs.node_valid)
-            q = jnp.where(mask, q, -jnp.inf)
-            action_node = int(jnp.argmax(q))
-        else:
+
+        def policy():
+            if method == "DQN":
+                q = fwd(params, obs.features, obs.adjacency, obs.node_valid)
+                q = jnp.where(mask, q, -jnp.inf)
+                return int(jnp.argmax(q))
             p = fwd(params, obs.features, obs.adjacency, obs.node_valid, mask)
-            action_node = int(jnp.argmax(p))
+            return int(jnp.argmax(p))
+
+        if not warmed:
+            policy()  # compile outside the timed region (test.py times a warm net)
+            warmed = True
+        t0 = time.perf_counter()
+        action_node = policy()
         policy_time = time.perf_counter() - t0
+        # one Computation-time row PER DECISION, metrics empty — the
+        # reference's exact layout (test.py:123-125 vs :139-142), so
+        # per-decision latency means compare apples-to-apples
+        rows.append(
+            {
+                "Step": "",
+                "Category": f"{args.method}+{args.model}",
+                "Map entropy": "",
+                "Landmarks error": "",
+                "Max localization uncertainty": "",
+                "Computation time": policy_time,
+                "Map size": args.map_size,
+            }
+        )
 
         goal = action_node - int(obs.key_size)
         acts = acts_fn(state, frontiers)
         n_act = int(acts.n_actions[goal])
+        if n_act == 0:  # degenerate macro: avoid spinning without progress
+            break
         odoms = np.asarray(acts.odoms[goal])
         done = False
         for i in range(n_act):
@@ -139,7 +162,7 @@ def run_episode(env_index, args, config, model, params, method):
                     "Map entropy": entro,
                     "Landmarks error": lerr,
                     "Max localization uncertainty": mu,
-                    "Computation time": policy_time,
+                    "Computation time": "",
                     "Map size": args.map_size,
                 }
             )

@@ -39,6 +39,13 @@ A2C_SHARDED = ("envs", "buffer", "rng")
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) are visible "
+                f"({jax.default_backend()}) — a silently smaller mesh would "
+                "change step_t/epsilon/target-update dynamics"
+            )
         devices = devices[:n_devices]
     import numpy as np
 
@@ -127,12 +134,20 @@ def init_dp_dqn(
 
     env_keys = jax.random.split(k2, n_dev * rl.n_envs).reshape(n_dev, rl.n_envs, -1)
     # jit the whole init: eager vmap-of-reset compiles dozens of op-level
-    # modules (minutes on a 1-CPU host); one jitted module is cached once
-    envs = jax.jit(jax.vmap(jax.vmap(lambda k: ee.reset(k, config))))(env_keys)
+    # modules (minutes on a 1-CPU host); one jitted module is cached once.
+    # out_shardings lays each shard out on its own device at creation — a
+    # default-device init would transiently materialise ALL shards on chip 0
+    # (the replay alone is ~1 GB/device at training capacities) before
+    # _place reshards, OOMing configurations that fit fine once sharded.
+    dp_shard = NamedSharding(mesh, P("dp"))
+    envs = jax.jit(
+        jax.vmap(jax.vmap(lambda k: ee.reset(k, config))), out_shardings=dp_shard
+    )(env_keys)
     replay = jax.jit(
         jax.vmap(
             lambda _: rp.init_replay(rl.replay_memory, cap.max_nodes, rl.edge_cap)
-        )
+        ),
+        out_shardings=dp_shard,
     )(jnp.arange(n_dev))
     state = DQNState(
         params=params,
@@ -179,9 +194,12 @@ def init_dp_a2c(
     opt_state = a2c_mod.make_optimizer(rl).init((actor_params, critic_params))
 
     env_keys = jax.random.split(k3, n_dev * rl.n_envs).reshape(n_dev, rl.n_envs, -1)
-    envs = jax.jit(jax.vmap(jax.vmap(lambda k: ee.reset(k, config))))(env_keys)
+    dp_shard = NamedSharding(mesh, P("dp"))  # see init_dp_dqn: shard at creation
+    envs = jax.jit(
+        jax.vmap(jax.vmap(lambda k: ee.reset(k, config))), out_shardings=dp_shard
+    )(env_keys)
     buffer = jax.jit(
-        jax.vmap(lambda _: a2c_mod._empty_buffer(rl, n))
+        jax.vmap(lambda _: a2c_mod._empty_buffer(rl, n)), out_shardings=dp_shard
     )(jnp.arange(n_dev))
     state = A2CState(
         actor_params=actor_params,

@@ -67,10 +67,15 @@ def main() -> None:
     fig, ax = plt.subplots(figsize=(8, 4.5), dpi=150)
 
     steps, vals = read_curve(args.ours)
-    ax.plot(steps, smooth(vals, args.window), color=COLORS[0], lw=2,
-            label=args.label, zorder=3)
+    if len(steps) == 0:
+        raise SystemExit(
+            f"no curve data in {args.ours} yet (train.py appends rows only "
+            "after step_t > 1000)"
+        )
+    sm = smooth(vals, args.window)
+    ax.plot(steps, sm, color=COLORS[0], lw=2, label=args.label, zorder=3)
     print(f"{args.label}: {int(steps[-1])} steps, "
-          f"trailing avg {vals[-1]:+.3f} (smoothed {smooth(vals, args.window)[-1]:+.3f})")
+          f"trailing avg {vals[-1]:+.3f} (smoothed {sm[-1]:+.3f})")
 
     for i, path in enumerate(sorted(glob.glob(os.path.join(args.ref_dir, "*.csv")))):
         name = os.path.basename(path).replace("_avg_reward.csv", "")

@@ -3,6 +3,7 @@ plot the trailing-average reward written by ``train.py`` (``temp_reward.csv``,
 columns step,avg_reward) for one or more runs."""
 import argparse
 import csv
+import os
 
 import numpy as np
 
@@ -19,7 +20,13 @@ def main():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    labels = args.labels or [p.split("/")[-2] for p in args.csvs]
+    # default label: the run directory name; bare filenames fall back to the
+    # filename itself rather than crashing on a missing path component
+    labels = list(args.labels or [])
+    labels += [
+        os.path.basename(os.path.dirname(os.path.abspath(p)) ) or os.path.basename(p)
+        for p in args.csvs[len(labels):]
+    ]
     for path, label in zip(args.csvs, labels):
         rows = np.array(
             [[float(a), float(b)] for a, b in csv.reader(open(path))]

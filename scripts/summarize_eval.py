@@ -23,17 +23,27 @@ def main() -> None:
     args = ap.parse_args()
 
     episodes: dict[int, list[dict]] = defaultdict(list)
+    times: list[float] = []
     ep = -1
     with open(args.csv, newline="") as f:
         for row in csv.DictReader(f):
+            if row.get("Computation time"):
+                # one cell per decision (single-episode layout) or a repeated
+                # constant (batched layout); either way the mean is the
+                # per-decision policy latency
+                times.append(float(row["Computation time"]))
             if not row["Step"]:
                 continue
-            if int(float(row["Step"])) == 1:
+            if int(float(row["Step"])) == 1 or ep < 0:
                 ep += 1
             episodes[ep].append(row)
 
+    if not episodes:
+        print(f"{args.csv}: no metric rows")
+        return
     n = len(episodes)
-    print(f"{args.csv}: {n} episodes, {len(episodes[0])} steps each")
+    lens = sorted(len(r) for r in episodes.values())
+    print(f"{args.csv}: {n} episodes, {lens[0]}-{lens[-1]} steps each")
 
     finishes = []
     for rows in episodes.values():
@@ -69,14 +79,8 @@ def main() -> None:
                 f"step {s:5d} (n={cnt}): "
                 + "  ".join(f"{k}={v / cnt:.3f}" for k, v in acc.items())
             )
-    ct = [
-        float(r["Computation time"])
-        for rows in episodes.values()
-        for r in rows[:1]
-        if r["Computation time"]
-    ]
-    if ct:
-        print(f"policy compute time: {sum(ct) / len(ct) * 1e3:.2f} ms")
+    if times:
+        print(f"policy compute time: {sum(times) / len(times) * 1e3:.2f} ms")
 
 
 if __name__ == "__main__":

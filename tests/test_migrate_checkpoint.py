@@ -87,3 +87,27 @@ def test_migrate_checkpoint_n_envs(tmp_path):
     # env states are rebuilt at the new batch size, not carried
     for leaf in jax.tree_util.tree_leaves(new.envs):
         assert leaf.shape[0] == 2
+
+    # wrong flags must be rejected loudly, not migrated into a corrupt
+    # checkpoint (flax from_bytes restores stored shapes unchecked)
+    r2 = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "migrate_checkpoint.py"),
+            str(src),
+            "--old-n-envs", "1",
+            "--new-n-envs", "2",
+            "--map-size", "40",
+            "--max-poses", "16",  # checkpoint was written at 24
+            "--replay", "8",
+            "--edge-cap", "32",
+            "--out", str(tmp_path / "bad.msgpack"),
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert r2.returncode != 0
+    assert "shapes do not match" in (r2.stdout + r2.stderr)
+    assert not (tmp_path / "bad.msgpack").exists()

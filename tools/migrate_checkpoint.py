@@ -61,7 +61,31 @@ def main() -> None:
 
     old = template(args.old_n_envs)
     with open(args.checkpoint, "rb") as f:
-        old = serialization.from_bytes(old, f.read())
+        restored = serialization.from_bytes(old, f.read())
+    # flax from_bytes restores the STORED shapes without validating them
+    # against the template — a wrong flag (--max-poses/--replay/--edge-cap/
+    # --old-n-envs) or a --devices-sharded checkpoint would otherwise migrate
+    # silently into an internally inconsistent output that crashes training
+    # later with an opaque XLA shape error
+    mismatches = []
+    t_flat = jax.tree_util.tree_flatten_with_path(old)[0]
+    r_flat = jax.tree_util.tree_flatten_with_path(restored)[0]
+    for (pt, t), (_, r) in zip(t_flat, r_flat):
+        ts = getattr(t, "shape", None)
+        rs = getattr(r, "shape", None)
+        if ts != rs:
+            mismatches.append(
+                f"  {jax.tree_util.keystr(pt)}: expected {ts}, checkpoint has {rs}"
+            )
+    if mismatches:
+        raise SystemExit(
+            "checkpoint shapes do not match the given flags (check "
+            "--old-n-envs/--max-poses/--replay/--edge-cap/--model; "
+            "data-parallel checkpoints from train.py --devices carry a "
+            "leading device axis and need their own template):\n"
+            + "\n".join(mismatches[:10])
+        )
+    old = restored
 
     new = template(args.new_n_envs)
     new = new._replace(
