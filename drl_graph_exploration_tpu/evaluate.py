@@ -82,6 +82,7 @@ def _episode_fns(config, model, method):
         "obs": jax.jit(lambda s: ee.observe(s, config)),
         "acts": jax.jit(lambda s, f: ee.actions_all_goals(s, f, config)),
         "step": jax.jit(lambda s, o: ee.env_step(s, o, config)),
+        "refresh": jax.jit(lambda s: ee.refresh_rasters(s, config)),
     }
     if method == "DQN":
         fns["fwd"] = jax.jit(lambda p, f, a, v: model.apply(p, f, a, v))
@@ -104,6 +105,15 @@ def run_episode(env_index, args, config, model, params, method):
     warmed = False
     max_step = args.max_step or PLOT_MAX_STEP.get(int(args.map_size), 400)
     while step_t < max_step:
+        if getattr(args, "gn_refresh", False):
+            # relinearise + rebuild the rasters the observation reads
+            # (both are pure functions of the belief)
+            from .env import belief as bel
+
+            state = state._replace(
+                belief=bel.gauss_newton_refresh(state.belief, config)
+            )
+            state = fns["refresh"](state)
         obs, frontiers = obs_fn(state)
         fs = int(obs.fro_size)
         if fs == 0 or bool(ee.is_done(state, config)):
@@ -196,6 +206,14 @@ def main(argv=None) -> None:
                     help="first episode seed (split the 50-world protocol "
                          "into HBM-sized batches: --episodes 25 "
                          "--seed-offset 0 / 25)")
+    ap.add_argument("--gn-refresh", action="store_true",
+                    help="re-solve the full factor graph (Gauss-Newton, "
+                         "belief.gauss_newton_refresh) at every decision "
+                         "boundary — the counterpart of the reference's "
+                         "iSAM2 relinearisation on every optimize() "
+                         "(/root/reference/src/em_exploration/SLAM2D.cpp:374-430); "
+                         "the recursive filter continues from the batch-MAP "
+                         "solution, tightening landmark/uncertainty metrics")
     args = ap.parse_args(argv)
 
     from .config import ExplorationConfig
@@ -278,6 +296,17 @@ def run_batched(args, config, model, params, method: str):
     states = jax.jit(jax.vmap(lambda k: ee.reset(k, config)))(keys)
 
     def decision(states, finished, metrics, cursors, *, config, n):
+        if args.gn_refresh:
+            # periodic relinearisation: re-solve the stored factor graph and
+            # continue the filter from the batch-MAP (what iSAM2 converges to
+            # on every reference optimize(), SLAM2D.cpp:374-430)
+            from .env import belief as bel
+
+            states = jax.vmap(
+                lambda s: s._replace(
+                    belief=bel.gauss_newton_refresh(s.belief, config)
+                )
+            )(states)
         # the macro loop below keeps the information raster lazy (only the
         # prob raster feeds per-step metrics/done); the graph observation's
         # frontier features read its cov trace, so rebuild it here — the
