@@ -441,9 +441,13 @@ def run_batched(args, config, model, params, method: str):
         states, finished, metrics, cursors = decision_j(
             states, finished, metrics, cursors
         )
-        done_n = int(finished.sum())
-        cur_min = int(cursors.min())
-        cur_max = int(cursors.max())
+        # one host transfer per decision (each scalar fetch is a ~25 ms RPC
+        # on the tunneled backend)
+        done_n, cur_min, cur_max = (
+            int(x) for x in jax.device_get(
+                (finished.sum(), cursors.min(), cursors.max())
+            )
+        )
         # grow to the next bucket before any lane could fill this one
         while (
             bucket_i + 1 < len(buckets)

@@ -135,10 +135,24 @@ def main(argv=None) -> None:
             step = lambda st: dqn.decision_step(st, model, config, rl)
         state = _try_resume(state, args.resume, serialization)
 
+        # step_t advances by n_envs * world_size per decision (rl/dqn.py:263),
+        # so it is computed host-side; per-decision metrics stay on device and
+        # are fetched in ONE batched transfer every few decisions — on the
+        # tunneled backend every host sync is a ~25 ms RPC that also stalls
+        # the dispatch pipeline, so per-scalar float() calls each step cost
+        # real throughput
+        start_step = int(state.step_t)
+        per_decision = args.n_envs * max(args.devices, 1)
+        pending: list = []
         for i in range(args.decisions):
             state, metrics = step(state)
-            _log(metrics, state.step_t, rewards_log, curve_rows, i, args, t_start,
-                 tb_writer, loss_rows)
+            pending.append((i, start_step + (i + 1) * per_decision, metrics))
+            if i % 10 == 0 or (i + 1) % args.checkpoint_every == 0 \
+                    or i + 1 == args.decisions:
+                for j, st_host, m in pending:
+                    _log(jax.device_get(m), st_host, rewards_log, curve_rows,
+                         j, args, t_start, tb_writer, loss_rows)
+                pending.clear()
             if (i + 1) % args.checkpoint_every == 0:
                 _save(args.out_dir, state, state.params, i + 1,
                       rewards_log, curve_rows, loss_rows)
@@ -154,10 +168,18 @@ def main(argv=None) -> None:
             state = a2c.init_a2c(key, actor, critic, config, rl)
             step = lambda st: a2c.decision_step(st, actor, critic, config, rl)
         state = _try_resume(state, args.resume, serialization)
+        start_step = int(state.step_t)  # host-side step_t (see DQN loop)
+        per_decision = args.n_envs * max(args.devices, 1)
+        pending = []
         for i in range(args.decisions):
             state, metrics = step(state)
-            _log(metrics, state.step_t, rewards_log, curve_rows, i, args, t_start,
-                 tb_writer, loss_rows)
+            pending.append((i, start_step + (i + 1) * per_decision, metrics))
+            if i % 10 == 0 or (i + 1) % args.checkpoint_every == 0 \
+                    or i + 1 == args.decisions:
+                for j, st_host, m in pending:
+                    _log(jax.device_get(m), st_host, rewards_log, curve_rows,
+                         j, args, t_start, tb_writer, loss_rows)
+                pending.clear()
             if (i + 1) % args.checkpoint_every == 0:
                 _save(args.out_dir, state, state.actor_params, i + 1,
                       rewards_log, curve_rows, loss_rows)
