@@ -105,6 +105,40 @@ def reset(key: jax.Array, config: ExplorationConfig) -> EnvState:
     return state
 
 
+def reset_with_world(
+    landmarks: jax.Array,
+    landmark_valid: jax.Array,
+    pose: jax.Array,
+    key: jax.Array,
+    config: ExplorationConfig,
+) -> EnvState:
+    """``reset`` with an externally generated ground-truth world (e.g. the
+    reference's own MT19937 test worlds, ``utils/ref_worlds.py``) instead of
+    a Threefry draw.  No retry loop: the caller resolves the reference's
+    regenerate-on-blind-scan bump (its criterion depends on the reference's
+    noise streams, replicated host-side in ref_worlds)."""
+    km, kr = jax.random.split(key)
+    world = wd.world_from(landmarks, landmark_valid, pose, config)
+    belief = bel.init_belief(world.pose, config)
+    meas = wd.measure(world, km, config)
+    belief = bel.add_measurements(belief, meas, config)
+    vmap_state = vm.init_virtual_map(config)
+    vmap_state = vm.update_probability(vmap_state, belief, config)
+    vmap_state = vm.update_information(vmap_state, belief, config)
+    state = EnvState(
+        world=world,
+        belief=belief,
+        vmap=vmap_state,
+        rng=kr,
+        step=jnp.int32(1),
+        dist=jnp.float32(0.0),
+        done=jnp.array(False),
+        cleared=jnp.array(True),
+        loop_clo=jnp.array(False),
+    )
+    return _initial_scan(state, config)
+
+
 # ---------------------------------------------------------------------------
 # primitive step
 

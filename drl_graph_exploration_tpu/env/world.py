@@ -108,6 +108,16 @@ def init_world(key: jax.Array, config: ExplorationConfig) -> WorldState:
     kp, kl = jax.random.split(key)
     pose = initial_pose(kp, config)
     landmarks, valid = scatter_landmarks(kl, pose[:2], config)
+    return world_from(landmarks, valid, pose, config)
+
+
+def world_from(
+    landmarks: jax.Array, valid: jax.Array, pose: jax.Array,
+    config: ExplorationConfig,
+) -> WorldState:
+    """A ground-truth world from explicit landmark positions and start pose —
+    the counterpart of the reference's ``[Landmarks]`` config section and of
+    injecting its MT19937 test worlds (``utils/ref_worlds.py``)."""
     cap = config.capacity.max_poses
     traj = jnp.zeros((cap, 3)).at[0].set(pose)
     return WorldState(

@@ -206,6 +206,12 @@ def main(argv=None) -> None:
                     help="first episode seed (split the 50-world protocol "
                          "into HBM-sized batches: --episodes 25 "
                          "--seed-offset 0 / 25)")
+    ap.add_argument("--ref-worlds", action="store_true",
+                    help="run the reference's OWN test worlds (bit-exact "
+                         "MT19937 start poses + landmark scatters incl. its "
+                         "regenerate bumps, utils/ref_worlds.py) instead of "
+                         "Threefry-sampled worlds — matched-worlds comparison "
+                         "against the shipped CSVs (batched mode)")
     ap.add_argument("--gn-refresh", action="store_true",
                     help="re-solve the full factor graph (Gauss-Newton, "
                          "belief.gauss_newton_refresh) at every decision "
@@ -293,7 +299,30 @@ def run_batched(args, config, model, params, method: str):
     n = config.capacity.max_nodes
 
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(b) + args.seed_offset)
-    states = jax.jit(jax.vmap(lambda k: ee.reset(k, config)))(keys)
+    if getattr(args, "ref_worlds", False):
+        from .utils import ref_worlds as rw
+
+        cap_l = config.capacity.max_landmarks
+        worlds = rw.reference_test_worlds(
+            args.map_size, episodes=b, offset=args.seed_offset
+        )
+        bumped = [w for w in worlds if w.effective_index != w.env_index]
+        print(
+            f"reference worlds: {len(bumped)}/{b} regenerate-bumped "
+            f"({[(w.env_index, w.effective_index) for w in bumped]})",
+            flush=True,
+        )
+        n_lm = worlds[0].landmarks.shape[0]
+        lms = np.zeros((b, cap_l, 2), np.float32)
+        lms[:, :n_lm] = np.stack([w.landmarks for w in worlds])
+        lv = np.zeros((b, cap_l), bool)
+        lv[:, :n_lm] = True
+        poses = np.stack([w.start_pose for w in worlds]).astype(np.float32)
+        states = jax.jit(
+            jax.vmap(lambda lm, v, p, k: ee.reset_with_world(lm, v, p, k, config))
+        )(jnp.asarray(lms), jnp.asarray(lv), jnp.asarray(poses), keys)
+    else:
+        states = jax.jit(jax.vmap(lambda k: ee.reset(k, config)))(keys)
 
     def decision(states, finished, metrics, cursors, *, config, n):
         if args.gn_refresh:
@@ -469,8 +498,6 @@ def run_batched(args, config, model, params, method: str):
             break
 
     # pad each lane's tail with its final value (test.py:146-151)
-    import numpy as np
-
     rows = []
     ent = np.asarray(metrics["entropy"])
     ler = np.asarray(metrics["lerr"])
