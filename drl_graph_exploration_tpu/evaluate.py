@@ -97,7 +97,23 @@ def run_episode(env_index, args, config, model, params, method):
 
     fns = _episode_fns(config, model, method)
     obs_fn, acts_fn, step_fn, fwd = fns["obs"], fns["acts"], fns["step"], fns["fwd"]
-    state = fns["reset"](jax.random.PRNGKey(env_index))
+    if getattr(args, "ref_worlds", False):
+        from .env import exploration_env as _ee
+        from .utils import ref_worlds as rw
+
+        w = rw.generate(env_index, args.map_size)
+        cap_l = config.capacity.max_landmarks
+        lms = np.zeros((cap_l, 2), np.float32)
+        lms[: len(w.landmarks)] = w.landmarks
+        lv = np.zeros((cap_l,), bool)
+        lv[: len(w.landmarks)] = True
+        state = jax.jit(
+            lambda lm, v, p, k: _ee.reset_with_world(lm, v, p, k, config)
+        )(jnp.asarray(lms), jnp.asarray(lv),
+          jnp.asarray(w.start_pose, dtype=jnp.float32),
+          jax.random.PRNGKey(env_index))
+    else:
+        state = fns["reset"](jax.random.PRNGKey(env_index))
     n = config.capacity.max_nodes
 
     rows = []
