@@ -50,8 +50,13 @@ def _run_supervisor(tmp_path, trainer_src, max_restarts, timeout=60.0):
             SUPERVISOR,
             "--out-dir", str(out_dir),
             "--trainer", str(stub),
+            # first-stall must cover interpreter startup (>1 s cold on a
+            # loaded/cold-cache host — with 1.0 s the supervisor kills the
+            # stub before it prints, flaking all three tests); the stubs
+            # print immediately after startup, so the post-progress window
+            # (--stall-sec) is what the stall test actually measures
             "--stall-sec", "1.0",
-            "--first-stall-sec", "1.0",
+            "--first-stall-sec", "15.0",
             "--poll-sec", "0.3",
             "--restart-delay-sec", "0.1",
             "--max-restarts", str(max_restarts),
