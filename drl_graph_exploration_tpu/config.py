@@ -95,9 +95,16 @@ class PlannerConfig:
     # (``dubins_control_model_enabled`` in the reference ini; off in the
     # shipped training config, ``exploration_env.ini:62``)
     dubins_control_model_enabled: bool = False
-    # How many per-goal reward rollouts run in parallel (each holds a forked
-    # joint covariance; memory = n_envs * chunk * D^2 floats)
-    reward_goal_chunk: int = 4
+    # How many per-goal reward rollouts run in parallel (with rollout_lite
+    # each holds a (D, 2L+3) band + (P, 3, 3) marginals; memory =
+    # n_envs * chunk * (D*(2L+3) + 9P) floats — small enough that the default
+    # runs ALL goals of the live configs in one chunk)
+    reward_goal_chunk: int = 64
+    # Reward rollouts fork a banded belief (belief.LiteBelief) instead of the
+    # full (D, D) joint covariance: bitwise-identical marginals (tested) at
+    # ~D/(2L+3)x less memory traffic per rollout step.  Off = the full-matrix
+    # fork (the equivalence oracle).
+    rollout_lite: bool = True
 
 
 @dataclass(frozen=True)

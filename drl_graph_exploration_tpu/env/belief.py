@@ -104,8 +104,13 @@ def _diag_blocks(cov: jax.Array, n: int, k: int, offset: int) -> jax.Array:
     return cov[rows[:, :, None], rows[:, None, :]]
 
 
-def pose_cov_blocks(belief: BeliefState, config: ExplorationConfig) -> jax.Array:
-    """(P, 3, 3) global-frame marginal covariance of every pose slot."""
+def pose_cov_blocks(belief, config: ExplorationConfig) -> jax.Array:
+    """(P, 3, 3) global-frame marginal covariance of every pose slot.
+
+    Accepts a full :class:`BeliefState` or a forked :class:`LiteBelief`
+    (which tracks the pose marginals directly instead of the full matrix)."""
+    if hasattr(belief, "pose_diag"):
+        return belief.pose_diag
     return _diag_blocks(belief.cov, config.capacity.max_poses, 3, 0)
 
 
@@ -117,9 +122,12 @@ def pose_cov_blocks_local(belief: BeliefState, config: ExplorationConfig) -> jax
     return se2.local_cov_transform(thetas, blocks)
 
 
-def lm_cov_blocks(belief: BeliefState, config: ExplorationConfig) -> jax.Array:
-    """(L, 2, 2) landmark marginal covariances."""
+def lm_cov_blocks(belief, config: ExplorationConfig) -> jax.Array:
+    """(L, 2, 2) landmark marginal covariances (full belief or LiteBelief —
+    the lite fork's landmark corner lives in ``band_lm[3P:]``)."""
     p, l = config.capacity.max_poses, config.capacity.max_landmarks
+    if hasattr(belief, "band_lm"):
+        return _diag_blocks(belief.band_lm[3 * p :], l, 2, 0)
     return _diag_blocks(belief.cov, l, 2, 3 * p)
 
 
@@ -686,15 +694,16 @@ def _step_update_impl(
     )
 
 
-def _insert_landmarks(mu, cov, x, pr, meas, new_mask, config: ExplorationConfig):
-    """Batched landmark-state augmentation with exact cross-covariances
-    (the information-equivalent EKF form of the reference's
-    landmark-init-plus-factor insertion, ``SLAM2D.cpp:103-124``)."""
+def _insertion_geometry(x, pr, meas, pose_rows, config: ExplorationConfig):
+    """Shared geometry of the batched landmark insertion: returns
+    ``(lmp, rows_new, blk)`` — the new landmark positions (L, 2), their full
+    covariance rows (2L, D) and the new-new corner block (2L, 2L) — given the
+    post-update pose mean ``x`` and its full covariance rows ``pose_rows``
+    (3, D).  Used by the full-matrix path and the banded rollout fork."""
     cap = config.capacity
-    d = cap.state_dim
     l = cap.max_landmarks
     s = config.sensor
-    lr0 = 3 * cap.max_poses
+    d = pose_rows.shape[1]
 
     zb, zr = meas.bearing, meas.range
     v = jnp.stack([zr * jnp.cos(zb), zr * jnp.sin(zb)], axis=-1)  # (L, 2) body
@@ -709,7 +718,6 @@ def _insert_landmarks(mu, cov, x, pr, meas, new_mask, config: ExplorationConfig)
     jz = rot[None] @ jnp.stack([dv_db, dv_dr], axis=-1)  # (L, 2, 2)
     r_noise = jnp.diag(jnp.array([s.bearing_noise, s.range_noise]) ** 2)
 
-    pose_rows = jax.lax.dynamic_slice(cov, (pr, 0), (3, d))  # (3, D)
     # jx (L,2,3) @ pose_rows (3,D) with the 3-contraction unrolled (VPU)
     rows_new = (
         jx[:, :, 0, None] * pose_rows[0][None, None, :]
@@ -734,6 +742,20 @@ def _insert_landmarks(mu, cov, x, pr, meas, new_mask, config: ExplorationConfig)
         cross
         + jnp.zeros((l, 2, l, 2)).at[jnp.arange(l), :, jnp.arange(l), :].set(noise_blk)
     ).reshape(2 * l, 2 * l)
+    return lmp, rows_new, blk
+
+
+def _insert_landmarks(mu, cov, x, pr, meas, new_mask, config: ExplorationConfig):
+    """Batched landmark-state augmentation with exact cross-covariances
+    (the information-equivalent EKF form of the reference's
+    landmark-init-plus-factor insertion, ``SLAM2D.cpp:103-124``)."""
+    cap = config.capacity
+    d = cap.state_dim
+    l = cap.max_landmarks
+    lr0 = 3 * cap.max_poses
+
+    pose_rows = jax.lax.dynamic_slice(cov, (pr, 0), (3, d))  # (3, D)
+    lmp, rows_new, blk = _insertion_geometry(x, pr, meas, pose_rows, config)
 
     # New-landmark insertion only touches the last 2L rows/cols — thin,
     # static-offset writes (XLA updates them in place), NOT full-matrix
@@ -764,6 +786,191 @@ def _insert_landmarks(mu, cov, x, pr, meas, new_mask, config: ExplorationConfig)
         jnp.where(new_mask[:, None], lmp, mu[lr0:].reshape(l, 2)).reshape(2 * l)
     )
     return mu, cov
+
+
+# ---------------------------------------------------------------------------
+# banded rollout fork (the reference's FastMarginals2 role,
+# ``/root/reference/src/em_exploration/FastMarginals.cpp:188-296``)
+
+
+class LiteBelief(NamedTuple):
+    """Forked belief for reward rollouts: the covariance is represented by the
+    cross-covariance BAND it actually needs — the current pose's columns
+    (D, 3) + the landmark block's columns (D, 2L) — plus the per-pose marginal
+    diagonal blocks the virtual-map raster consumes.
+
+    Every quantity the full ``step_update`` computes (Kalman gain, downdate,
+    augmentation, insertion) reads only these columns of the joint covariance,
+    and their own updates are expressible in them, so the recursion is CLOSED
+    on the band and the tracked marginals are **bitwise identical** to the
+    full-matrix path (regression-tested) at ~D/(2L+3) times less memory
+    traffic per rollout step.  This mirrors what the reference's planning
+    covariance engine (``FastMarginals2``) does: propagate/downdate only the
+    marginals the utility needs, never the full joint.
+
+    Landmark marginals are the diagonal 2x2 blocks of ``band_lm[lr0:]`` —
+    free.  ``mu`` stays full (D,) — it is cheap and the raster needs every
+    pose mean.
+    """
+
+    mu: jax.Array  # (D,)
+    band_pose: jax.Array  # (D, 3) — cov columns of the current pose slot
+    band_lm: jax.Array  # (D, 2L) — cov columns of the landmark block
+    pose_diag: jax.Array  # (P, 3, 3) — global-frame pose marginals
+    n_poses: jax.Array  # () int32
+    lm_seen: jax.Array  # (L,) bool
+    core_mask: jax.Array  # (P,) bool
+
+
+def fork_lite(belief: BeliefState, config: ExplorationConfig) -> LiteBelief:
+    """Fork a rollout-local :class:`LiteBelief` from the full belief."""
+    cap = config.capacity
+    d = cap.state_dim
+    lr0 = 3 * cap.max_poses
+    pr = 3 * (belief.n_poses - 1)
+    return LiteBelief(
+        mu=belief.mu,
+        band_pose=jax.lax.dynamic_slice(belief.cov, (0, pr), (d, 3)),
+        band_lm=belief.cov[:, lr0:],
+        pose_diag=_diag_blocks(belief.cov, cap.max_poses, 3, 0),
+        n_poses=belief.n_poses,
+        lm_seen=belief.lm_seen,
+        core_mask=belief.core_mask,
+    )
+
+
+def step_update_lite(
+    lb: LiteBelief,
+    odom: jax.Array,
+    meas: Measurements,
+    config: ExplorationConfig,
+    core: bool | jax.Array = True,
+    enabled: bool | jax.Array = True,
+) -> LiteBelief:
+    """One fused odometry+measurement step on the banded fork — the same
+    arithmetic as ``_step_update_impl`` restricted to the band columns (each
+    band element's update is the identical dot product the full-matrix
+    downdate computes for that element, so marginals match bitwise)."""
+    cap = config.capacity
+    d = cap.state_dim
+    l = cap.max_landmarks
+    p = cap.max_poses
+    c = config.control
+    lr0 = 3 * p
+    prec = jax.lax.Precision.HIGHEST
+
+    freeze = (lb.n_poses >= p) | ~jnp.asarray(enabled, bool)
+    t = jnp.minimum(lb.n_poses, p - 1)  # new pose index
+    r_old = 3 * (t - 1)
+    r_new = 3 * t
+
+    # ---------------------------------------- odometry augmentation (banded)
+    prev = jax.lax.dynamic_slice(lb.mu, (r_old,), (3,))
+    new = se2.compose(prev, odom)
+    f, g = se2.odometry_jacobians_global(prev, odom)
+    q = jnp.diag(
+        jnp.array([c.translation_noise, c.translation_noise, c.rotation_noise]) ** 2
+    )
+    prev_rows = lb.band_pose.T  # (3, D) — cov rows of the previous pose
+    new_rows = jnp.stack(
+        [
+            f[i, 0] * prev_rows[0] + f[i, 1] * prev_rows[1] + f[i, 2] * prev_rows[2]
+            for i in range(3)
+        ]
+    )  # (3, D)
+    p11 = jax.lax.dynamic_slice(prev_rows, (0, r_old), (3, 3))
+    corner = f @ p11 @ f.T + g @ q @ g.T
+    corner = 0.5 * (corner + corner.T)
+    new_rows = jax.lax.dynamic_update_slice(new_rows, corner, (0, r_new))
+    mu_aug = jnp.where(
+        freeze, lb.mu, jax.lax.dynamic_update_slice(lb.mu, new, (r_new,))
+    )
+
+    # ------------------------------- measurement update on banded aug slices
+    upd_mask = meas.valid & lb.lm_seen & ~freeze
+    new_mask = meas.valid & ~lb.lm_seen & ~freeze
+
+    c_pose = new_rows.T  # (D, 3)
+    rr = jnp.arange(d, dtype=jnp.int32) - jnp.where(freeze, -(d + 8), r_new)
+    nr_lm = new_rows[:, lr0:]  # (3, 2L)
+    c_lm = jnp.where(
+        ((rr >= 0) & (rr < 3))[:, None],
+        jnp.where(
+            (rr == 0)[:, None],
+            nr_lm[0][None, :],
+            jnp.where((rr == 1)[:, None], nr_lm[1][None, :], nr_lm[2][None, :]),
+        ),
+        lb.band_lm,
+    )  # (D, 2L)
+
+    mu_post, k, b_half = _iekf_joint(
+        mu_aug, c_pose, c_lm, r_new, meas, upd_mask, config
+    )
+
+    # -------------------------- banded downdate: cov' = aug - K b^T - b K^T
+    b_act_p = jax.lax.dynamic_slice(b_half, (r_new, 0), (3, 2 * l))
+    k_act_p = jax.lax.dynamic_slice(k, (r_new, 0), (3, 2 * l))
+    band_pose = (
+        c_pose
+        - jnp.matmul(k, b_act_p.T, precision=prec)
+        - jnp.matmul(b_half, k_act_p.T, precision=prec)
+    )
+    band_lm = (
+        c_lm
+        - jnp.matmul(k, b_half[lr0:].T, precision=prec)
+        - jnp.matmul(b_half, k[lr0:].T, precision=prec)
+    )
+    # pose marginals: diag'_p = aug_diag_p - K_p b_p^T - b_p K_p^T (the same
+    # dot products c_mat's diagonal blocks hold in the full path).  aug writes
+    # the new pose's corner; an out-of-bounds index drops the write on freeze.
+    tw = jnp.where(freeze, jnp.int32(p + 1), t)
+    aug_diag = lb.pose_diag.at[tw].set(corner)
+    k_p = k[:lr0].reshape(p, 3, 2 * l)
+    b_p = b_half[:lr0].reshape(p, 3, 2 * l)
+    dd = jnp.einsum("pim,pjm->pij", k_p, b_p, precision=prec)
+    pose_diag = aug_diag - dd - jnp.swapaxes(dd, 1, 2)
+
+    # ------------------------------------------------------ insertion (banded)
+    x_post = jax.lax.dynamic_slice(mu_post, (r_new,), (3,))
+    lmp, rows_new, blk = _insertion_geometry(
+        x_post, jnp.asarray(r_new), meas, band_pose.T, config
+    )
+    nm2 = jnp.repeat(new_mask, 2)  # (2L,)
+    old_rows = band_lm.T  # (2L, D)
+    sel_rows = jnp.where(nm2[:, None], rows_new, old_rows)
+    rn_corner = rows_new[:, lr0:]
+    both = nm2[:, None] & nm2[None, :]
+    corner_lm = jnp.where(
+        both,
+        blk,
+        jnp.where(
+            nm2[:, None],
+            rn_corner,
+            jnp.where(nm2[None, :], rn_corner.T, old_rows[:, lr0:]),
+        ),
+    )
+    band_lm = jnp.concatenate([sel_rows[:, :lr0].T, corner_lm], axis=0)
+    bp_low = jax.lax.dynamic_slice(sel_rows, (0, r_new), (2 * l, 3))
+    band_pose = jnp.concatenate([band_pose[:lr0], bp_low], axis=0)
+    mu_post = mu_post.at[lr0:].set(
+        jnp.where(new_mask[:, None], lmp, mu_post[lr0:].reshape(l, 2)).reshape(2 * l)
+    )
+
+    # under freeze the band must stay pinned to the OLD current pose's columns
+    # (r_new then points at an unused slot whose identity columns are garbage
+    # for the continuation)
+    band_pose = jnp.where(freeze, lb.band_pose, band_pose)
+
+    inc = jnp.where(freeze, 0, 1).astype(lb.n_poses.dtype)
+    return LiteBelief(
+        mu=mu_post,
+        band_pose=band_pose,
+        band_lm=band_lm,
+        pose_diag=pose_diag,
+        n_poses=lb.n_poses + inc,
+        lm_seen=lb.lm_seen | new_mask,
+        core_mask=lb.core_mask.at[tw].set(jnp.asarray(core, bool)),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -458,6 +458,9 @@ def evaluate_chains(
     s = config.sensor
     lm = bel.lm_mu(belief, config)
     lm_seen = belief.lm_seen
+    lite = config.planner.rollout_lite
+    b0 = bel.fork_lite(belief, config) if lite else belief
+    upd = bel.step_update_lite if lite else bel.step_update
 
     def one_chain(chain, valid):
         def step(b, inp):
@@ -474,7 +477,7 @@ def evaluate_chains(
             )
             # fused odometry+measurement update; masked no-op for padded
             # chain slots (cheaper than lax.cond under vmap)
-            b = bel.step_update(
+            b = upd(
                 b,
                 odom,
                 Measurements(bearing=hb, range=hr, valid=mvalid),
@@ -483,7 +486,7 @@ def evaluate_chains(
             )
             return b, None
 
-        b, _ = jax.lax.scan(step, belief, (chain, valid))
+        b, _ = jax.lax.scan(step, b0, (chain, valid))
         algo = config.planner.algorithm
         if algo in ("OG_SHANNON", "SLAM_OG_SHANNON"):
             # occupancy-entropy objectives (Planner2D.cpp:368-416): rebuild

@@ -70,6 +70,9 @@ def rollout_reward(
     """
     aw = config.planner.angle_weight
     initial_u = calculate_utility(vmap_state, jnp.float32(0.0), config)
+    lite = config.planner.rollout_lite
+    b0 = bel.fork_lite(belief, config) if lite else belief
+    upd = bel.step_update_lite if lite else bel.step_update
 
     def step(carry, inputs):
         w, b, dist = carry
@@ -85,13 +88,13 @@ def rollout_reward(
         )
         w2, _ = wd.move(w, odom, km, config, valid=alive)
         meas = wd.measure(w2, ks, config)
-        b2 = bel.step_update(b, odom, meas, config, enabled=alive)
+        b2 = upd(b, odom, meas, config, enabled=alive)
         return (w2, b2, dist), None
 
     keys = jax.random.split(key, actions.odoms.shape[0])
     (w, b, dist), _ = jax.lax.scan(
         step,
-        (world_state, belief, jnp.float32(0.0)),
+        (world_state, b0, jnp.float32(0.0)),
         (actions.odoms, actions.valid, keys),
     )
     v = vm.update_probability(vmap_state, b, config)

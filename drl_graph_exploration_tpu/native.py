@@ -20,9 +20,33 @@ AVAILABLE = False
 _lib = None
 
 
+def _build():
+    """Build the library from source if missing (the binary is deliberately
+    NOT committed — a stale .so compiled on another host is a silent-corruption
+    hazard).  One ~1 s g++ invocation; failure just leaves AVAILABLE=False."""
+    makedir = os.path.dirname(_LIB_PATH)
+    if not os.path.exists(os.path.join(makedir, "hostrt.cpp")):
+        return
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", makedir, "-s"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:  # noqa: BLE001 - numpy HostPlanner fallback covers this
+        pass
+
+
 def _load():
     global _lib, AVAILABLE
-    if _lib is not None or not os.path.exists(_LIB_PATH):
+    if _lib is not None:
+        return
+    if not os.path.exists(_LIB_PATH):
+        _build()
+    if not os.path.exists(_LIB_PATH):
         return
     lib = ctypes.CDLL(_LIB_PATH)
     lib.halton_batch.argtypes = [

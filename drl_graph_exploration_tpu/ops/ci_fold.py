@@ -47,6 +47,7 @@ def ci_fold_pallas(
     cos_max_bearing: float,
     min_range: float,
     max_range: float,
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     p = poses.shape[0]
     r, cpad = cx.shape
@@ -164,6 +165,7 @@ def ci_fold_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
+        interpret=interpret,
     )(poses, covs, active.reshape(p, 1), cx, cy)
 
 
@@ -173,6 +175,7 @@ def update_information_pallas(
     active: jax.Array,  # (P,) bool
     centers: jax.Array,  # (R, C, 2)
     config,
+    interpret: bool = False,
 ) -> jax.Array:
     """Drop-in core for ``virtual_map.update_information``: returns the
     (R, C, 2, 2) information raster.  Requires a symmetric FoV (the kernel
@@ -210,6 +213,7 @@ def update_information_pallas(
         cos_max_bearing=math.cos(s.max_bearing),
         min_range=s.min_range,
         max_range=s.max_range,
+        interpret=interpret,
     )
     ia, ib, idd = ia[:, :c], ib[:, :c], idd[:, :c]
     return jnp.stack(

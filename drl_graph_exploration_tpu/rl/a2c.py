@@ -170,7 +170,13 @@ def a2c_losses(
 
 # every metric decision_step_impl returns (parallel/dp.py builds its
 # shard_map out_specs from this)
-METRIC_KEYS = ("reward", "loss", "value", "done_frac", "explored")
+METRIC_KEYS = (
+    "reward", "loss", "value", "done_frac", "explored",
+    # health diagnostics (same lanes as the DQN trainer, dqn.METRIC_KEYS —
+    # A2C had this round's NaN-poisoning bug class, so it gets the same
+    # early-warning instrumentation)
+    "feat_max", "belief_ok", "reward_ok", "loss_ok", "grad_ok",
+)
 
 
 def decision_step_impl(
@@ -287,14 +293,19 @@ def decision_step_impl(
         opt_state = jax.tree.map(
             lambda new, old: jnp.where(grad_ok, new, old), new_opt, opt_state
         )
-        return actor_params, critic_params, opt_state, loss
+        diag = {
+            "loss_ok": jnp.isfinite(loss).astype(jnp.float32),
+            "grad_ok": grad_ok.astype(jnp.float32),
+        }
+        return actor_params, critic_params, opt_state, loss, diag
 
     def no_train(args):
         a, c, o = args
-        return a, c, o, jnp.float32(0.0)
+        diag = {"loss_ok": jnp.float32(1.0), "grad_ok": jnp.float32(1.0)}
+        return a, c, o, jnp.float32(0.0), diag
 
     full = idx + 1 >= rl.nstep
-    actor_params, critic_params, opt_state, loss = jax.lax.cond(
+    actor_params, critic_params, opt_state, loss, upd_diag = jax.lax.cond(
         full,
         do_train,
         no_train,
@@ -312,6 +323,14 @@ def decision_step_impl(
         "value": jnp.mean(vals),
         "done_frac": jnp.mean(done.astype(jnp.float32)),
         "explored": jnp.mean(jax.vmap(lambda e: vm.explored(e.vmap, config))(envs)),
+        "feat_max": jnp.max(jnp.abs(obs.features)),
+        "belief_ok": jnp.mean(
+            jax.vmap(lambda e: jnp.isfinite(e.belief.mu).all())(envs).astype(
+                jnp.float32
+            )
+        ),
+        "reward_ok": jnp.mean(jnp.isfinite(r_t).astype(jnp.float32)),
+        **upd_diag,
     }
     assert set(metrics) == set(METRIC_KEYS), sorted(set(metrics) ^ set(METRIC_KEYS))
     if axis_name is not None:

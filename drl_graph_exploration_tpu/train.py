@@ -47,12 +47,12 @@ def main(argv=None) -> None:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--replay", type=int, default=10000)
     ap.add_argument("--edge-cap", type=int, default=4096)
-    ap.add_argument("--reward-chunk", type=int, default=4,
+    ap.add_argument("--reward-chunk", type=int, default=0,
                     help="parallel reward rollouts per goal chunk (0 = all "
-                         "goals in one chunk; memory = n_envs*chunk forked "
-                         "covariances — 0 with n_envs=64 needs ~37G HBM at "
-                         "the largest map-40 capacity bucket, OOMing a 16G "
-                         "chip, so the default stays chunked)")
+                         "goals in one chunk — cheap since rollouts fork a "
+                         "banded belief (planner.rollout_lite) instead of "
+                         "the full joint covariance; chunk only if HBM is "
+                         "tight with rollout_lite disabled)")
     ap.add_argument("--updates-per-step", type=int, default=0,
                     help="gradient updates per batched decision "
                     "(0 = n_envs, matching the reference's one update per "

@@ -77,10 +77,13 @@ def test_dp_plumbing_pmean_gradient_is_mean_of_shard_gradients():
 
 
 @pytest.mark.slow
-def test_dp_dqn_decision_step():
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_dp_dqn_decision_step(n_dev):
     """The driver's multi-chip dryrun must pass as a pytest too: correct
     replicated step_t accounting (n_devices * n_envs singles per batched
-    step), finite metrics, learner update applied identically everywhere."""
+    step), finite metrics, learner update applied identically everywhere —
+    at every mesh size (the shard_map program must not bake in 8)."""
+    N_DEV = n_dev
     config, rl = ge.tiny_dp_setup()
     mesh = dp.make_mesh(N_DEV)
     model = gnn.GCN()

@@ -17,13 +17,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
-
-import jax
-
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
-)
+import sys
 
 
 def main() -> None:
@@ -37,8 +31,39 @@ def main() -> None:
     ap.add_argument("--replay", type=int, default=10000)
     ap.add_argument("--edge-cap", type=int, default=4096)
     ap.add_argument("--seed", type=int, default=17)
+    ap.add_argument("--old-devices", type=int, default=0,
+                    help="world size the checkpoint was trained with "
+                         "(0 = single-device train.py layout; >0 = the "
+                         "data-parallel layout from train.py --devices N)")
+    ap.add_argument("--new-devices", type=int, default=0,
+                    help="world size to migrate to (0 = single-device). "
+                         "Learned state (params/target/optimizer/step_t) "
+                         "always carries over; replay shards carry over only "
+                         "when the device count is unchanged — resharding a "
+                         "ring buffer across world sizes would scramble its "
+                         "(idx, size) accounting, so the migrated run "
+                         "refills replay during its observe warm-up instead "
+                         "(printed loudly)")
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
+
+    # device-count migrations build dp templates on a virtual CPU mesh —
+    # pin it before any jax device use
+    ndev = max(args.old_devices, args.new_devices, 1)
+    if args.old_devices or args.new_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={ndev}"
+            ).strip()
+    import jax
+
+    if args.old_devices or args.new_devices:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
 
     from flax import serialization
 
@@ -53,13 +78,20 @@ def main() -> None:
     )
     model = gnn.build_dqn_model(args.model, config.capacity.max_nodes)
 
-    def template(n_envs: int) -> dqn.DQNState:
+    def template(n_envs: int, devices: int) -> dqn.DQNState:
         rl = dqn.RLConfig(
             n_envs=n_envs, replay_memory=args.replay, edge_cap=args.edge_cap
         )
+        if devices > 0:
+            from drl_graph_exploration_tpu.parallel import dp
+
+            mesh = dp.make_mesh(devices)
+            return dp.init_dp_dqn(
+                jax.random.PRNGKey(args.seed), model, config, rl, mesh
+            )
         return dqn.init_dqn(jax.random.PRNGKey(args.seed), model, config, rl)
 
-    old = template(args.old_n_envs)
+    old = template(args.old_n_envs, args.old_devices)
     with open(args.checkpoint, "rb") as f:
         restored = serialization.from_bytes(old, f.read())
     # flax from_bytes restores the STORED shapes without validating them
@@ -87,22 +119,34 @@ def main() -> None:
         )
     old = restored
 
-    new = template(args.new_n_envs)
-    new = new._replace(
+    new = template(args.new_n_envs, args.new_devices)
+    carry = dict(
         params=old.params,
         target_params=old.target_params,
         opt_state=old.opt_state,
-        replay=old.replay,
         step_t=old.step_t,
-        rng=old.rng,
     )
+    if args.old_devices == args.new_devices:
+        carry["replay"] = old.replay
+        carry["rng"] = old.rng
+    else:
+        print(
+            f"[migrate] world size changes ({args.old_devices or 1} -> "
+            f"{args.new_devices or 1} device(s)): replay shards are NOT "
+            "resharded (ring (idx, size) accounting does not survive a "
+            "world-size change) — the migrated run refills replay during its "
+            "observe warm-up, exactly like a reference restart relay",
+            file=sys.stderr,
+        )
+    new = new._replace(**carry)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     data = serialization.to_bytes(new)
     with open(args.out, "wb") as f:
         f.write(data)
     print(
         f"migrated {args.checkpoint} (n_envs {args.old_n_envs} -> "
-        f"{args.new_n_envs}) at step_t={int(old.step_t)} -> {args.out}"
+        f"{args.new_n_envs}, devices {args.old_devices or 1} -> "
+        f"{args.new_devices or 1}) at step_t={int(old.step_t)} -> {args.out}"
     )
 
 
