@@ -105,6 +105,14 @@ class PlannerConfig:
     # ~D/(2L+3)x less memory traffic per rollout step.  Off = the full-matrix
     # fork (the equivalence oracle).
     rollout_lite: bool = True
+    # IEKF iterations inside reward-rollout belief updates (applied to BOTH
+    # the lite and full rollout forks, so their equivalence is preserved).
+    # The reference's planning-time covariance engine (FastMarginals2,
+    # ``/root/reference/src/em_exploration/FastMarginals.cpp:188-296``) is a
+    # single-linearisation EKF propagate + Woodbury downdate — it never
+    # iterates or relinearises — so 1 is the faithful (and ~1.4x faster)
+    # setting; the live belief keeps belief.iekf_iterations for stability.
+    rollout_iekf_iterations: int = 1
 
 
 @dataclass(frozen=True)
@@ -165,6 +173,13 @@ class BeliefConfig:
     # Single-pass Pallas kernel for the covariance downdate (TPU only; the
     # XLA path is the portable default and is bitwise-identical in structure)
     use_pallas: bool = False
+    # Belief representation of environments built by ``exploration_env.reset``:
+    # "full" keeps the (D, D) joint covariance (needed for gauss_newton_refresh,
+    # joint marginals, capacity growth — the evaluators' default); "band" keeps
+    # only the covariance band + pose marginals (belief.BandBelief) — the
+    # trainers' default: identical trajectories (tested) at ~D/(2L+3)x less
+    # covariance traffic per primitive step.
+    representation: str = "full"
 
 
 @dataclass(frozen=True)
@@ -206,6 +221,23 @@ class ExplorationConfig:
         return int(
             math.floor((self.map_max_x - self.map_min_x) / self.virtual_map.resolution)
         )
+
+    def tightened(self) -> "ExplorationConfig":
+        """Shrink the landmark/frontier capacities to exactly fit the
+        configured world: the scatter places exactly ``num_landmarks``
+        landmarks and the frontier dedup yields at most ``num_landmarks + 1``
+        distinct anchors (robot + one per landmark key,
+        ``/root/reference/scripts/envs/exploration_env.py:289-348``), so any
+        larger capacity is pure padding.  The reward pass scales with
+        ``n_envs * max_frontiers`` forked rollouts, so on the live map-40
+        config (8 landmarks vs the default L=16/F=17 capacities) this nearly
+        halves the decision step's dominant cost.  Shapes change — use at
+        config-build time, not mid-run."""
+        nl = self.simulator.num_landmarks
+        cap = dataclasses.replace(
+            self.capacity, max_landmarks=nl, max_frontiers=nl + 1
+        )
+        return dataclasses.replace(self, capacity=cap)
 
     def with_map_size(self, map_size: float) -> "ExplorationConfig":
         """Mirror of the env's reset-time config mutation

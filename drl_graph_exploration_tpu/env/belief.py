@@ -822,8 +822,19 @@ class LiteBelief(NamedTuple):
     core_mask: jax.Array  # (P,) bool
 
 
-def fork_lite(belief: BeliefState, config: ExplorationConfig) -> LiteBelief:
-    """Fork a rollout-local :class:`LiteBelief` from the full belief."""
+def fork_lite(belief, config: ExplorationConfig) -> LiteBelief:
+    """Fork a rollout-local :class:`LiteBelief` from the full belief — or,
+    from a :class:`BandBelief`, a free field copy (the band IS the fork)."""
+    if isinstance(belief, BandBelief):
+        return LiteBelief(
+            mu=belief.mu,
+            band_pose=belief.band_pose,
+            band_lm=belief.band_lm,
+            pose_diag=belief.pose_diag,
+            n_poses=belief.n_poses,
+            lm_seen=belief.lm_seen,
+            core_mask=belief.core_mask,
+        )
     cap = config.capacity
     d = cap.state_dim
     lr0 = 3 * cap.max_poses
@@ -851,6 +862,20 @@ def step_update_lite(
     arithmetic as ``_step_update_impl`` restricted to the band columns (each
     band element's update is the identical dot product the full-matrix
     downdate computes for that element, so marginals match bitwise)."""
+    lb2, _, _, _ = _lite_step_core(lb, odom, meas, config, core, enabled)
+    return lb2
+
+
+def _lite_step_core(
+    lb: LiteBelief,
+    odom: jax.Array,
+    meas: Measurements,
+    config: ExplorationConfig,
+    core: bool | jax.Array = True,
+    enabled: bool | jax.Array = True,
+) -> tuple[LiteBelief, jax.Array, jax.Array, jax.Array]:
+    """The banded recursion; also returns ``(t, freeze, new_mask)`` so
+    :func:`step_update_band` can keep the factor logs in sync."""
     cap = config.capacity
     d = cap.state_dim
     l = cap.max_landmarks
@@ -962,7 +987,7 @@ def step_update_lite(
     band_pose = jnp.where(freeze, lb.band_pose, band_pose)
 
     inc = jnp.where(freeze, 0, 1).astype(lb.n_poses.dtype)
-    return LiteBelief(
+    lb2 = LiteBelief(
         mu=mu_post,
         band_pose=band_pose,
         band_lm=band_lm,
@@ -970,6 +995,130 @@ def step_update_lite(
         n_poses=lb.n_poses + inc,
         lm_seen=lb.lm_seen | new_mask,
         core_mask=lb.core_mask.at[tw].set(jnp.asarray(core, bool)),
+    )
+    return lb2, t, freeze, new_mask
+
+
+# ---------------------------------------------------------------------------
+# band-resident belief (the trainer's primary representation)
+
+
+class BandBelief(NamedTuple):
+    """A full belief state in banded form: the :class:`LiteBelief` recursion
+    state PLUS the factor logs, so it supports everything the decision loop
+    consumes — marginals (``pose_diag`` / the ``band_lm`` corner), the graph
+    observation (factor logs), rollout forks (free — the band IS the fork) —
+    without ever materialising the (D, D) joint covariance.  The recursion is
+    closed on the band and bitwise-identical to the full-matrix path
+    (``tests/test_lite_rollout.py`` / ``tests/test_band_env.py``), so a
+    trainer running on BandBelief produces the same trajectories at ~D/(2L+3)
+    times less covariance traffic per primitive step.  What it can NOT do:
+    joint cross-covariances of arbitrary key pairs and the Gauss-Newton
+    refresh (both need the full matrix; the evaluators keep
+    :class:`BeliefState` for those).
+    """
+
+    # --- banded joint Gaussian ---------------------------------------------
+    mu: jax.Array  # (D,)
+    band_pose: jax.Array  # (D, 3) — cov columns of the current pose slot
+    band_lm: jax.Array  # (D, 2L) — cov columns of the landmark block
+    pose_diag: jax.Array  # (P, 3, 3) — global-frame pose marginals
+    n_poses: jax.Array  # () int32
+    lm_seen: jax.Array  # (L,) bool
+    core_mask: jax.Array  # (P,) bool
+    # --- factor logs (identical to BeliefState) -----------------------------
+    prior_pose: jax.Array
+    prior_info: jax.Array
+    odom_log: jax.Array  # (P, 3)
+    meas_z: jax.Array  # (P, L, 2)
+    pair_seen: jax.Array  # (P, L) bool
+    key_log: jax.Array  # (P + L,) int32
+    n_keys: jax.Array  # () int32
+    lm_key_pos: jax.Array  # (L,) int32
+    pose_key_pos: jax.Array  # (P,) int32
+
+    @property
+    def pair_range(self) -> jax.Array:
+        return self.meas_z[..., 1]
+
+
+def band_from_full(belief: BeliefState, config: ExplorationConfig) -> BandBelief:
+    """Convert a full belief into band form (used once per episode reset)."""
+    lb = fork_lite(belief, config)
+    return BandBelief(
+        mu=lb.mu,
+        band_pose=lb.band_pose,
+        band_lm=lb.band_lm,
+        pose_diag=lb.pose_diag,
+        n_poses=lb.n_poses,
+        lm_seen=lb.lm_seen,
+        core_mask=lb.core_mask,
+        prior_pose=belief.prior_pose,
+        prior_info=belief.prior_info,
+        odom_log=belief.odom_log,
+        meas_z=belief.meas_z,
+        pair_seen=belief.pair_seen,
+        key_log=belief.key_log,
+        n_keys=belief.n_keys,
+        lm_key_pos=belief.lm_key_pos,
+        pose_key_pos=belief.pose_key_pos,
+    )
+
+
+def step_update_band(
+    belief: BandBelief,
+    odom: jax.Array,
+    meas: Measurements,
+    config: ExplorationConfig,
+    core: bool | jax.Array = True,
+    enabled: bool | jax.Array = True,
+) -> BandBelief:
+    """Fused odometry + measurement step on the band representation: the
+    :func:`_lite_step_core` recursion plus exactly the factor-log bookkeeping
+    of ``_step_update_impl`` (same write order, same freeze semantics)."""
+    cap = config.capacity
+    lb = LiteBelief(
+        mu=belief.mu,
+        band_pose=belief.band_pose,
+        band_lm=belief.band_lm,
+        pose_diag=belief.pose_diag,
+        n_poses=belief.n_poses,
+        lm_seen=belief.lm_seen,
+        core_mask=belief.core_mask,
+    )
+    lb2, t, freeze, new_mask = _lite_step_core(lb, odom, meas, config, core, enabled)
+
+    oob = jnp.int32(cap.max_poses + cap.max_landmarks + 1)
+    tw = jnp.where(freeze, oob, t)
+    kw = jnp.where(freeze, jnp.int32(belief.key_log.shape[0]), belief.n_keys)
+    inc = jnp.where(freeze, 0, 1).astype(belief.n_poses.dtype)
+    key_log = belief.key_log.at[kw].set(t)
+    mid = belief._replace(
+        odom_log=belief.odom_log.at[tw].set(odom),
+        key_log=key_log,
+        pose_key_pos=belief.pose_key_pos.at[tw].set(belief.n_keys),
+        n_keys=belief.n_keys + inc,
+    )
+    meas_z, pair_seen, key_log, n_keys, lm_key_pos = _meas_bookkeeping(
+        mid, t, meas, new_mask, config, valid=meas.valid & ~freeze
+    )
+    return BandBelief(
+        mu=lb2.mu,
+        band_pose=lb2.band_pose,
+        band_lm=lb2.band_lm,
+        pose_diag=lb2.pose_diag,
+        n_poses=lb2.n_poses,
+        lm_seen=lb2.lm_seen,
+        core_mask=lb2.core_mask,
+        prior_pose=belief.prior_pose,
+        prior_info=belief.prior_info,
+        odom_log=mid.odom_log,
+        meas_z=meas_z,
+        pair_seen=pair_seen,
+        key_log=key_log,
+        n_keys=n_keys,
+        lm_key_pos=lm_key_pos,
+        pose_key_pos=mid.pose_key_pos,
     )
 
 

@@ -53,6 +53,10 @@ def _init_once(key: jax.Array, config: ExplorationConfig) -> EnvState:
     belief = bel.init_belief(world.pose, config)
     meas = wd.measure(world, km, config)
     belief = bel.add_measurements(belief, meas, config)
+    if config.belief.representation == "band":
+        # the (D, D) matrix exists only transiently inside this reset; every
+        # subsequent step runs the banded recursion (identical trajectories)
+        belief = bel.band_from_full(belief, config)
     vmap_state = vm.init_virtual_map(config)
     vmap_state = vm.update_probability(vmap_state, belief, config)
     vmap_state = vm.update_information(vmap_state, belief, config)
@@ -122,6 +126,8 @@ def reset_with_world(
     belief = bel.init_belief(world.pose, config)
     meas = wd.measure(world, km, config)
     belief = bel.add_measurements(belief, meas, config)
+    if config.belief.representation == "band":
+        belief = bel.band_from_full(belief, config)
     vmap_state = vm.init_virtual_map(config)
     vmap_state = vm.update_probability(vmap_state, belief, config)
     vmap_state = vm.update_information(vmap_state, belief, config)
@@ -197,8 +203,14 @@ def simulate_with_flags(
     cleared = jnp.where(in_bounds, jnp.where(obstacle, False, True), state.cleared)
 
     meas = wd.measure(world, ks, config)
-    # fused odometry + measurement update: one full-matrix pass
-    belief = bel.step_update(state.belief, odom, meas, config, enabled=in_bounds)
+    # fused odometry + measurement update: one full-matrix pass ("full") or
+    # one band pass ("band") — identical recursions (tests/test_band_env.py)
+    upd = (
+        bel.step_update_band
+        if isinstance(state.belief, bel.BandBelief)
+        else bel.step_update
+    )
+    belief = upd(state.belief, odom, meas, config, enabled=in_bounds)
     # the rasters are pure rebuilds from the belief, so recomputing them on a
     # skipped step reproduces the old values exactly — no select needed
     vmap_state = state.vmap
@@ -243,6 +255,11 @@ def simulate_move_only(
     ``(state, obstacle, out_of_bounds)``; on obstacle the reference falls
     through to the full update — complete with
     :func:`simulate_finish_measure`."""
+    if isinstance(state.belief, bel.BandBelief):
+        raise NotImplementedError(
+            "simulate_move_only (SS2D core=False) needs the full belief; "
+            "build the env with belief.representation='full'"
+        )
     bounds_ok = _bounds_ok(odom, config)
 
     km, ko, kn = jax.random.split(state.rng, 3)

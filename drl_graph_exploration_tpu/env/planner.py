@@ -458,7 +458,7 @@ def evaluate_chains(
     s = config.sensor
     lm = bel.lm_mu(belief, config)
     lm_seen = belief.lm_seen
-    lite = config.planner.rollout_lite
+    lite = config.planner.rollout_lite or isinstance(belief, bel.BandBelief)
     b0 = bel.fork_lite(belief, config) if lite else belief
     upd = bel.step_update_lite if lite else bel.step_update
 

@@ -70,9 +70,21 @@ def rollout_reward(
     """
     aw = config.planner.angle_weight
     initial_u = calculate_utility(vmap_state, jnp.float32(0.0), config)
-    lite = config.planner.rollout_lite
+    # a BandBelief forks for free and has no full-matrix path
+    lite = config.planner.rollout_lite or isinstance(belief, bel.BandBelief)
     b0 = bel.fork_lite(belief, config) if lite else belief
     upd = bel.step_update_lite if lite else bel.step_update
+    # Rollout belief updates linearise once (EKF), like the reference's
+    # planning engine (FastMarginals2) — see PlannerConfig.rollout_iekf_
+    # iterations.  Applied to both forks so lite == full stays testable.
+    import dataclasses as _dc
+
+    cfg_r = _dc.replace(
+        config,
+        belief=_dc.replace(
+            config.belief, iekf_iterations=config.planner.rollout_iekf_iterations
+        ),
+    )
 
     def step(carry, inputs):
         w, b, dist = carry
@@ -88,7 +100,7 @@ def rollout_reward(
         )
         w2, _ = wd.move(w, odom, km, config, valid=alive)
         meas = wd.measure(w2, ks, config)
-        b2 = upd(b, odom, meas, config, enabled=alive)
+        b2 = upd(b, odom, meas, cfg_r, enabled=alive)
         return (w2, b2, dist), None
 
     keys = jax.random.split(key, actions.odoms.shape[0])

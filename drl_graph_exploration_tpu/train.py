@@ -57,6 +57,14 @@ def main(argv=None) -> None:
                     help="gradient updates per batched decision "
                     "(0 = n_envs, matching the reference's one update per "
                     "single-env decision)")
+    ap.add_argument("--belief-rep", choices=["band", "full"], default="band",
+                    help="env belief representation: 'band' (trainer default; "
+                    "identical trajectories, no (D,D) covariance in the step) "
+                    "or 'full'")
+    ap.add_argument("--loose-capacity", action="store_true",
+                    help="keep the default padded landmark/frontier "
+                    "capacities instead of shrinking them to the world size "
+                    "(the reward pass scales with n_envs * max_frontiers)")
     ap.add_argument("--tensorboard", action="store_true",
                     help="also stream metrics to TensorBoard (reference parity)")
     args = ap.parse_args(argv)
@@ -75,6 +83,8 @@ def main(argv=None) -> None:
 
     os.makedirs(args.out_dir, exist_ok=True)
     base = ExplorationConfig().with_map_size(args.map_size)
+    if not args.loose_capacity:
+        base = base.tightened()
     config = dataclasses.replace(
         base,
         capacity=dataclasses.replace(base.capacity, max_poses=args.max_poses),
@@ -84,6 +94,10 @@ def main(argv=None) -> None:
         config = dataclasses.replace(
             config, belief=dataclasses.replace(config.belief, use_pallas=True)
         )
+    config = dataclasses.replace(
+        config,
+        belief=dataclasses.replace(config.belief, representation=args.belief_rep),
+    )
     chunk = args.reward_chunk if args.reward_chunk > 0 else config.capacity.max_frontiers
     config = dataclasses.replace(
         config, planner=dataclasses.replace(config.planner, reward_goal_chunk=chunk)

@@ -26,10 +26,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _tiny(n_envs: int):
-    """Mirror of the tool's ``template`` at tiny shapes."""
-    base = ExplorationConfig().with_map_size(40.0)
+    """Mirror of the tool's ``template`` at tiny shapes (the tool defaults to
+    train.py's capacity/representation policy: tightened + band)."""
+    base = ExplorationConfig().with_map_size(40.0).tightened()
     config = dataclasses.replace(
         base, capacity=dataclasses.replace(base.capacity, max_poses=24)
+    )
+    config = dataclasses.replace(
+        config, belief=dataclasses.replace(config.belief, representation="band")
     )
     model = gnn.build_dqn_model("GCN", config.capacity.max_nodes)
     rl = dqn.RLConfig(n_envs=n_envs, replay_memory=8, edge_cap=32)

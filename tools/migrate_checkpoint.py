@@ -44,6 +44,11 @@ def main() -> None:
                          "(idx, size) accounting, so the migrated run "
                          "refills replay during its observe warm-up instead "
                          "(printed loudly)")
+    ap.add_argument("--belief-rep", choices=["band", "full"], default="band",
+                    help="belief representation of BOTH templates (must match "
+                         "train.py's --belief-rep for the checkpoint)")
+    ap.add_argument("--loose-capacity", action="store_true",
+                    help="match a run trained with train.py --loose-capacity")
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
@@ -72,9 +77,15 @@ def main() -> None:
     from drl_graph_exploration_tpu.rl import dqn
 
     base = ExplorationConfig().with_map_size(args.map_size)
+    if not args.loose_capacity:
+        base = base.tightened()  # train.py's default capacity policy
     config = dataclasses.replace(
         base,
         capacity=dataclasses.replace(base.capacity, max_poses=args.max_poses),
+    )
+    config = dataclasses.replace(
+        config,
+        belief=dataclasses.replace(config.belief, representation=args.belief_rep),
     )
     model = gnn.build_dqn_model(args.model, config.capacity.max_nodes)
 

@@ -24,18 +24,29 @@ from drl_graph_exploration_tpu.rl import dqn
 P = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 ENVS = [int(x) for x in sys.argv[2:]] or [16, 32, 64]
 
-base = ExplorationConfig()
+base = ExplorationConfig().with_map_size(40.0)
+if os.environ.get("PROFILE_LOOSE", "0") != "1":
+    base = base.tightened()
 config = dataclasses.replace(
     base, capacity=dataclasses.replace(base.capacity, max_poses=P)
 )
 config = dataclasses.replace(
-    config, belief=dataclasses.replace(config.belief, use_pallas=True)
+    config,
+    belief=dataclasses.replace(
+        config.belief,
+        use_pallas=jax.default_backend() != "cpu",
+        representation=os.environ.get("PROFILE_REP", "band"),
+    ),
 )
 config = dataclasses.replace(
     config,
     planner=dataclasses.replace(
         config.planner, reward_goal_chunk=config.capacity.max_frontiers
     ),
+)
+print(
+    f"rep={config.belief.representation} L={config.capacity.max_landmarks} "
+    f"G={config.capacity.max_frontiers} P={P}", flush=True,
 )
 model = gnn.build_dqn_model("GCN", config.capacity.max_nodes)
 
