@@ -40,6 +40,10 @@ def main(argv=None) -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--checkpoint-every", type=int, default=500)
     ap.add_argument("--resume", default=None)
+    ap.add_argument("--resume-slim", default=None,
+                    help="resume the learner (params/opt/step_t) from a slim "
+                    "checkpoint; envs and replay start fresh and re-warm "
+                    "(cross-round durability — full states are ~1 GB)")
     ap.add_argument("--max-poses", type=int, default=512)
     ap.add_argument("--devices", type=int, default=0,
                     help="data-parallel devices (0 = single-device path)")
@@ -110,10 +114,11 @@ def main(argv=None) -> None:
     # on resume, seed the logs from the existing CSVs so the periodic _save
     # rewrite extends the curves instead of destroying the pre-restart
     # segment (the supervisor restarts into the same out_dir)
-    rewards_log = _seed_rows(reward_path, skip_header=True) if args.resume else []
+    resuming = bool(args.resume or args.resume_slim)
+    rewards_log = _seed_rows(reward_path, skip_header=True) if resuming else []
     rewards_log = [r for _, r in rewards_log] if rewards_log else []
-    curve_rows = _seed_rows(curve_path) if args.resume else []
-    loss_rows = _seed_rows(loss_path) if args.resume else []
+    curve_rows = _seed_rows(curve_path) if resuming else []
+    loss_rows = _seed_rows(loss_path) if resuming else []
 
     t_start = time.time()
     tb_writer = None
@@ -150,6 +155,7 @@ def main(argv=None) -> None:
             state = dqn.init_dqn(key, model, config, rl)
             step = lambda st: dqn.decision_step(st, model, config, rl)
         state = _try_resume(state, args.resume, serialization)
+        state = _try_resume_slim(state, args.resume_slim, serialization)
 
         # step_t advances by n_envs * world_size per decision (rl/dqn.py:263),
         # so it is computed host-side; per-decision metrics stay on device and
@@ -184,6 +190,7 @@ def main(argv=None) -> None:
             state = a2c.init_a2c(key, actor, critic, config, rl)
             step = lambda st: a2c.decision_step(st, actor, critic, config, rl)
         state = _try_resume(state, args.resume, serialization)
+        state = _try_resume_slim(state, args.resume_slim, serialization)
         start_step = int(state.step_t)  # host-side step_t (see DQN loop)
         per_decision = args.n_envs * max(args.devices, 1)
         pending = []
@@ -278,6 +285,36 @@ def _try_resume(state, resume_path, serialization):
         return state
 
 
+#: learner-side state fields, per trainer state type — everything except the
+#: replay ring / rollout buffer / env batch, which dominate the checkpoint
+#: size (~1 GB at the training config) but are re-warmable.  The slim file is
+#: small enough (~12 MB) to commit to git for cross-round durability.
+_SLIM_FIELDS = {
+    "DQNState": ("params", "target_params", "opt_state", "step_t", "rng"),
+    "A2CState": ("actor_params", "critic_params", "opt_state", "step_t", "rng"),
+}
+
+
+def _slim_dict(state) -> dict:
+    fields = _SLIM_FIELDS[type(state).__name__]
+    return {name: getattr(state, name) for name in fields}
+
+
+def _try_resume_slim(state, path, serialization):
+    """Restore the learner (params/opt/counters) from a slim checkpoint into
+    a freshly-initialised trainer state; envs and replay start fresh and
+    re-warm (the epsilon/target schedules continue from the saved step_t)."""
+    if not path:
+        return state
+    try:
+        with open(path, "rb") as f:
+            restored = serialization.from_bytes(_slim_dict(state), f.read())
+        return state._replace(**restored)
+    except Exception as e:  # noqa: BLE001 - any corrupt checkpoint
+        print(f"[train] slim resume failed ({e!r}); starting fresh", flush=True)
+        return state
+
+
 def _save(out_dir, state, params, i, rewards_log=None, curve_rows=None,
           loss_rows=None) -> None:
     from flax import serialization
@@ -288,6 +325,10 @@ def _save(out_dir, state, params, i, rewards_log=None, curve_rows=None,
     _write_atomic(
         os.path.join(out_dir, "trainer_state.msgpack"),
         serialization.to_bytes(state),
+    )
+    _write_atomic(
+        os.path.join(out_dir, "slim_state.msgpack"),
+        serialization.to_bytes(_slim_dict(state)),
     )
     # incremental CSVs so an interrupted run keeps its curves
     if rewards_log is not None:
