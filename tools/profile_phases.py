@@ -39,9 +39,12 @@ from drl_graph_exploration_tpu.rl import dqn, replay as rp
 
 P = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 N_ENVS = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-CHUNK = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+# 0 = all goals in one chunk — the trainer default (train.py) since rollouts
+# fork a banded belief; pass a positive chunk to profile the chunked path
+CHUNK = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 
-base = ExplorationConfig().with_map_size(40.0)
+# the TRAINER config (train.py defaults): tightened capacities + band belief
+base = ExplorationConfig().with_map_size(40.0).tightened()
 config = dataclasses.replace(
     base, capacity=dataclasses.replace(base.capacity, max_poses=P)
 )
@@ -50,7 +53,14 @@ if jax.default_backend() != "cpu":
         config, belief=dataclasses.replace(config.belief, use_pallas=True)
     )
 config = dataclasses.replace(
-    config, planner=dataclasses.replace(config.planner, reward_goal_chunk=CHUNK)
+    config, belief=dataclasses.replace(config.belief, representation="band")
+)
+config = dataclasses.replace(
+    config,
+    planner=dataclasses.replace(
+        config.planner,
+        reward_goal_chunk=CHUNK if CHUNK > 0 else config.capacity.max_frontiers,
+    ),
 )
 model = gnn.build_dqn_model("GCN", config.capacity.max_nodes)
 rl = dqn.RLConfig(n_envs=N_ENVS, updates_per_step=N_ENVS, observe=1)
