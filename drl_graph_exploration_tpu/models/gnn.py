@@ -74,29 +74,49 @@ def dropout(x: jax.Array, p: jax.Array, key: jax.Array | None) -> jax.Array:
 class GCNConv(nn.Module):
     """Dense masked GCN convolution (PyG 1.x ``GCNConv(improved=True)``):
     ``out = Ahat (x W) + b`` — bias added *after* aggregation, matching the
-    reference checkpoints' parameterisation."""
+    reference checkpoints' parameterisation.
+
+    ``dtype`` is the *computation* dtype (flax convention: params stay
+    float32; activations/matmuls run in ``dtype``).  bfloat16 keeps the
+    (N->640-padded, 1000) matmuls and the (N, N) aggregation on the MXU's
+    native datapath and halves their HBM traffic — the learner phase runs
+    updates_per_step of these per decision, so this is a throughput knob
+    (train.py --bf16), default off for bit-parity with imported weights."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, adj_norm, node_valid):
-        x = nn.Dense(self.features, use_bias=False, name="lin")(x)
+        x = nn.Dense(self.features, use_bias=False, name="lin", dtype=self.dtype)(x)
+        if self.dtype is not None:
+            adj_norm = adj_norm.astype(self.dtype)
         x = jnp.einsum("...ij,...jf->...if", adj_norm, x)
         b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        if self.dtype is not None:
+            b = b.astype(self.dtype)
         return (x + b) * node_valid[..., None]
 
 
 class GCN(nn.Module):
-    """Per-node Q-value head (DQN)."""
+    """Per-node Q-value head (DQN).  ``compute_dtype``: see :class:`GCNConv`;
+    the normalisation stays float32 (degree rsqrt), the Q head's output is
+    cast back to float32 so losses/targets are precision-stable."""
+
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, features, adj, node_valid, *, dropout_p=0.0, dropout_key=None):
         a = normalize_adjacency(adj, node_valid)
-        x = nn.relu(GCNConv(HIDDEN, name="conv1")(features, a, node_valid))
-        x = nn.relu(GCNConv(HIDDEN, name="conv2")(x, a, node_valid))
+        dt = self.compute_dtype
+        if dt is not None:
+            features = features.astype(dt)
+            a = a.astype(dt)
+        x = nn.relu(GCNConv(HIDDEN, name="conv1", dtype=dt)(features, a, node_valid))
+        x = nn.relu(GCNConv(HIDDEN, name="conv2", dtype=dt)(x, a, node_valid))
         x = dropout(x, dropout_p, dropout_key)
-        q = nn.Dense(1, name="fully_con1")(x)[..., 0]
-        return q  # (..., N)
+        q = nn.Dense(1, name="fully_con1", dtype=dt)(x)[..., 0]
+        return q.astype(jnp.float32)  # (..., N)
 
 
 class PolicyGCN(nn.Module):
@@ -370,11 +390,14 @@ MODEL_REGISTRY.update(
 MODEL_CHOICES = ("GCN", "GG-NN", "g-U-Net")
 
 
-def build_dqn_model(name: str, n_nodes: int):
+def build_dqn_model(name: str, n_nodes: int, compute_dtype=None):
     """DQN head for a CLI model name (GraphUNet needs the static node
-    capacity for its pooling ladder)."""
+    capacity for its pooling ladder).  ``compute_dtype`` (GCN only): run the
+    conv matmuls in that dtype, params staying float32 — see GCNConv."""
     if name == "GCN":
-        return GCN()
+        return GCN(compute_dtype=compute_dtype)
+    if compute_dtype is not None:
+        raise ValueError(f"compute_dtype is only plumbed for GCN, not {name!r}")
     if name in ("GG-NN", "GGNN"):
         return GGNN()
     if name in ("g-U-Net", "GraphUNet"):

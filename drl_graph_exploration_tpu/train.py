@@ -71,6 +71,10 @@ def main(argv=None) -> None:
                     "(the reward pass scales with n_envs * max_frontiers)")
     ap.add_argument("--tensorboard", action="store_true",
                     help="also stream metrics to TensorBoard (reference parity)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="run the GCN conv matmuls in bfloat16 (params stay "
+                    "float32) — learner-phase throughput knob; off by "
+                    "default for bit-parity with imported weights")
     args = ap.parse_args(argv)
 
     jax.config.update(
@@ -136,7 +140,13 @@ def main(argv=None) -> None:
         mesh = dp.make_mesh(args.devices)
 
     if args.method == "DQN":
-        model = gnn.build_dqn_model(args.model, config.capacity.max_nodes)
+        import jax.numpy as jnp
+
+        model = gnn.build_dqn_model(
+            args.model,
+            config.capacity.max_nodes,
+            compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        )
         target_update = 15000 if args.model == "GCN" else 9000
         rl = dqn.RLConfig(
             n_envs=args.n_envs,
