@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# Round-3 chip-gap plan: run the short chip jobs that must serialize with the
+# long DQN training run, then hand the chip back to DQN.
+#
+#   1. bf16 A/B of the updates phase (tools/profile_update_parts.py)
+#   2. A2C+GCN from-scratch curve (the one direct curve-vs-curve comparison
+#      the reference's shipped logs allow — VERDICT r2 item 4)
+#   3. g-U-Net DQN smoke (20k env-decisions: shows the third family learns)
+#   4. relaunch the DQN supervisor with --resume from the full checkpoint
+#
+# Precondition: the DQN supervisor + trainer are STOPPED (kill the PIDs in
+# /tmp/sup_dqn.pid and the trainer it spawned; do NOT pkill by pattern).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
+
+echo "=== 1. updates-phase bf16 A/B" >&2
+timeout 2400 python tools/profile_update_parts.py 512 64 64       | tee /tmp/upd_f32.txt
+timeout 2400 python tools/profile_update_parts.py 512 64 64 bf16  | tee /tmp/upd_bf16.txt
+
+echo "=== 2. A2C+GCN from scratch (64k env-decisions)" >&2
+timeout 7200 python -m drl_graph_exploration_tpu.train \
+  --method A2C --model GCN --map-size 40 --n-envs 64 --decisions 1000 \
+  --checkpoint-every 100 --seed 0 --out-dir runs/a2c_gcn_map40_r3
+python tools/durable_commit.py --run-dir runs/a2c_gcn_map40_r3 \
+  --dest data/ckpt/a2c_gcn_map40 --once
+
+echo "=== 3. g-U-Net DQN smoke (20k env-decisions)" >&2
+timeout 5400 python -m drl_graph_exploration_tpu.train \
+  --method DQN --model g-U-Net --map-size 40 --n-envs 64 --decisions 320 \
+  --observe 5000 --checkpoint-every 80 --seed 0 --out-dir runs/dqn_gunet_map40_r3
+python tools/durable_commit.py --run-dir runs/dqn_gunet_map40_r3 \
+  --dest data/ckpt/dqn_gunet_map40 --once
+
+echo "=== 4. resume DQN under the supervisor" >&2
+nohup python tools/train_supervisor.py --out-dir runs/dqn_gcn_map40_r3 \
+  --stall-sec 300 --first-stall-sec 3600 --max-restarts 50 -- \
+  --method DQN --model GCN --map-size 40 --n-envs 64 --decisions 15625 \
+  --observe 5000 --checkpoint-every 100 --seed 0 \
+  --resume runs/dqn_gcn_map40_r3/trainer_state.msgpack \
+  >> runs/supervisor_dqn.log 2>&1 &
+echo $! > /tmp/sup_dqn.pid
+echo "gap done; DQN resumed (supervisor pid $(cat /tmp/sup_dqn.pid))" >&2

@@ -26,6 +26,7 @@ from drl_graph_exploration_tpu.rl import dqn, replay as rp
 P = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 UPS = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 BATCH = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+BF16 = len(sys.argv) > 4 and sys.argv[4] == "bf16"
 
 base = ExplorationConfig().with_map_size(40.0).tightened()
 config = dataclasses.replace(
@@ -33,8 +34,10 @@ config = dataclasses.replace(
 )
 n = config.capacity.max_nodes
 rl = dqn.RLConfig(n_envs=64, updates_per_step=UPS, batch=BATCH, observe=1)
-model = gnn.build_dqn_model("GCN", n)
-print(f"N={n} batch={BATCH} updates={UPS}", flush=True)
+model = gnn.build_dqn_model(
+    "GCN", n, compute_dtype=jnp.bfloat16 if BF16 else None
+)
+print(f"N={n} batch={BATCH} updates={UPS} bf16={BF16}", flush=True)
 
 key = jax.random.PRNGKey(0)
 params = model.init(key, jnp.zeros((n, 5)), jnp.zeros((n, n)), jnp.ones((n,), bool))
