@@ -18,6 +18,9 @@ echo "=== 1. updates-phase bf16 A/B" >&2
 timeout 2400 python tools/profile_update_parts.py 512 64 64       | tee /tmp/upd_f32.txt
 timeout 2400 python tools/profile_update_parts.py 512 64 64 bf16  | tee /tmp/upd_bf16.txt
 
+echo "=== 1b. CI-fold Pallas vs XLA A/B (decides virtual_map.use_pallas default)" >&2
+timeout 2400 python tools/test_pallas_ci.py | tee /tmp/ci_ab.txt
+
 echo "=== 2. A2C+GCN from scratch (64k env-decisions)" >&2
 timeout 7200 python -m drl_graph_exploration_tpu.train \
   --method A2C --model GCN --map-size 40 --n-envs 64 --decisions 1000 \
