@@ -1,41 +1,59 @@
 #!/usr/bin/env bash
 # Round-3 chip-gap plan: run the short chip jobs that must serialize with the
-# long DQN training run, then hand the chip back to DQN.
+# long DQN training run, committing each result durably, then hand the chip
+# back to DQN.
 #
-#   1. bf16 A/B of the updates phase (tools/profile_update_parts.py)
-#   2. A2C+GCN from-scratch curve (the one direct curve-vs-curve comparison
-#      the reference's shipped logs allow — VERDICT r2 item 4)
-#   3. g-U-Net DQN smoke (20k env-decisions: shows the third family learns)
-#   4. relaunch the DQN supervisor with --resume from the full checkpoint
+#   1.  bf16 A/B of the updates phase (tools/profile_update_parts.py)
+#   1b. CI-fold Pallas vs XLA A/B (decides virtual_map.use_pallas default)
+#   2.  A2C+GCN from-scratch curve (the one direct curve-vs-curve comparison
+#       the reference's shipped logs allow — VERDICT r2 item 4)
+#   3.  g-U-Net DQN smoke (20k env-decisions: the third family learns)
+#   4.  self-trained DQN eval on the reference's own 50 test worlds
+#   5.  relaunch the DQN supervisor with --resume from the full checkpoint
 #
 # Precondition: the DQN supervisor + trainer are STOPPED (kill the PIDs in
 # /tmp/sup_dqn.pid and the trainer it spawned; do NOT pkill by pattern).
-set -euo pipefail
+# Each step is best-effort: a failure skips to the next so the chip always
+# returns to DQN.
+set -uo pipefail
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
+mkdir -p data/ab
 
-echo "=== 1. updates-phase bf16 A/B" >&2
-timeout 2400 python tools/profile_update_parts.py 512 64 64       | tee /tmp/upd_f32.txt
-timeout 2400 python tools/profile_update_parts.py 512 64 64 bf16  | tee /tmp/upd_bf16.txt
+step() { echo "=== $*" >&2; }
 
-echo "=== 1b. CI-fold Pallas vs XLA A/B (decides virtual_map.use_pallas default)" >&2
-timeout 2400 python tools/test_pallas_ci.py | tee /tmp/ci_ab.txt
+step "1. updates-phase bf16 A/B"
+timeout 2400 python tools/profile_update_parts.py 512 64 64      > data/ab/updates_f32.txt 2>&1
+timeout 2400 python tools/profile_update_parts.py 512 64 64 bf16 > data/ab/updates_bf16.txt 2>&1
+step "1b. CI-fold Pallas vs XLA A/B"
+timeout 2400 python tools/test_pallas_ci.py > data/ab/ci_fold.txt 2>&1
+git add data/ab && git commit -q -m "A/B results: updates-phase bf16, CI-fold Pallas (TPU)" -- data/ab || true
 
-echo "=== 2. A2C+GCN from scratch (64k env-decisions)" >&2
+step "2. A2C+GCN from scratch (64k env-decisions)"
 timeout 7200 python -m drl_graph_exploration_tpu.train \
   --method A2C --model GCN --map-size 40 --n-envs 64 --decisions 1000 \
-  --checkpoint-every 100 --seed 0 --out-dir runs/a2c_gcn_map40_r3
+  --checkpoint-every 100 --seed 0 --out-dir runs/a2c_gcn_map40_r3 || true
 python tools/durable_commit.py --run-dir runs/a2c_gcn_map40_r3 \
-  --dest data/ckpt/a2c_gcn_map40 --once
+  --dest data/ckpt/a2c_gcn_map40 --once || true
 
-echo "=== 3. g-U-Net DQN smoke (20k env-decisions)" >&2
+step "3. g-U-Net DQN smoke (20k env-decisions)"
 timeout 5400 python -m drl_graph_exploration_tpu.train \
   --method DQN --model g-U-Net --map-size 40 --n-envs 64 --decisions 320 \
-  --observe 5000 --checkpoint-every 80 --seed 0 --out-dir runs/dqn_gunet_map40_r3
+  --observe 5000 --checkpoint-every 80 --seed 0 \
+  --out-dir runs/dqn_gunet_map40_r3 || true
 python tools/durable_commit.py --run-dir runs/dqn_gunet_map40_r3 \
-  --dest data/ckpt/dqn_gunet_map40 --once
+  --dest data/ckpt/dqn_gunet_map40 --once || true
 
-echo "=== 4. resume DQN under the supervisor" >&2
+step "4. self-trained DQN eval (reference's 50 test worlds)"
+if [ -f data/ckpt/dqn_gcn_map40/MyModel.msgpack ]; then
+  timeout 3000 python -m drl_graph_exploration_tpu.evaluate --batched \
+    --episodes 50 --method DQN --model GCN --map-size 40 \
+    --checkpoint data/ckpt/dqn_gcn_map40/MyModel.msgpack --ref-worlds \
+    --out data/eval/40_DQN_GCN_selftrained_refworlds.csv || true
+  git add data/eval && git commit -q -m "eval: self-trained DQN+GCN on the reference's 50 test worlds" -- data/eval || true
+fi
+
+step "5. resume DQN under the supervisor"
 nohup python tools/train_supervisor.py --out-dir runs/dqn_gcn_map40_r3 \
   --stall-sec 300 --first-stall-sec 3600 --max-restarts 50 -- \
   --method DQN --model GCN --map-size 40 --n-envs 64 --decisions 15625 \
