@@ -50,6 +50,13 @@ class A2CConfig:
     n_envs: int = 16
     edge_cap: int = 4096
     world_size: int = 1
+    #: gradient accumulation over the nstep axis: 0 = one joint backward over
+    #: all nstep*n_envs samples (the reference's shape at n_envs=1); k > 0 =
+    #: accumulate over nstep/k chunks of k steps — the SAME gradient (the
+    #: loss is a per-sample sum / fixed denominator), at 1/(nstep/k) the
+    #: activation memory.  Needed at n_envs=64: the joint backward over
+    #: 2560 dense 529-node graphs wants ~22.6 GB of HBM vs the chip's 15.75.
+    grad_chunk: int = 0
 
 
 class A2CBuffer(NamedTuple):
@@ -168,6 +175,57 @@ def a2c_losses(
     return loss, (policy_loss, value_loss, entropy)
 
 
+def a2c_loss_and_grads(
+    params, actor, critic, buf: A2CBuffer, returns, n: int, rl: A2CConfig, key
+):
+    """(loss, aux, grads) for the joint A2C update, optionally accumulated
+    over ``rl.grad_chunk``-step time chunks.
+
+    Every term of :func:`a2c_losses` is a per-sample sum divided by the fixed
+    ``nstep * n_envs`` denominator, so the mean of per-chunk (loss, grads) —
+    each computed with its chunk's ``chunk * n_envs`` denominator — equals
+    the joint quantity exactly.  Chunking bounds the backward's live
+    activations to one chunk (``lax.scan`` serializes the chunks); with a
+    dropout key the chunked path folds a sub-key per chunk, which is a
+    different (equally valid) randomization than the joint pass."""
+    c = rl.grad_chunk
+    t, b = buf.reward.shape
+    vg = jax.value_and_grad(a2c_losses, has_aux=True)
+    if c <= 0 or c >= t:
+        (loss, aux), grads = vg(params, actor, critic, buf, returns, n, rl, key)
+        return loss, aux, grads
+    if t % c:
+        raise ValueError(f"grad_chunk {c} must divide nstep {t}")
+    nch = t // c
+    bufs = jax.tree.map(lambda x: x.reshape(nch, c, *x.shape[1:]), buf)
+    rets = returns.reshape(nch, c, b)
+
+    def body(carry, xs):
+        g_sum, l_sum, aux_sum = carry
+        if key is not None:
+            buf_c, ret_c, k_c = xs
+        else:
+            buf_c, ret_c = xs
+            k_c = None
+        (loss, aux), grads = vg(params, actor, critic, buf_c, ret_c, n, rl, k_c)
+        g_sum = jax.tree.map(jnp.add, g_sum, grads)
+        aux_sum = jax.tree.map(jnp.add, aux_sum, aux)
+        return (g_sum, l_sum + loss, aux_sum), None
+
+    zeros_g = jax.tree.map(jnp.zeros_like, params)
+    zeros_aux = (jnp.float32(0.0),) * 3
+    xs = (bufs, rets)
+    if key is not None:
+        xs = (bufs, rets, jax.random.split(key, nch))
+    (g_sum, l_sum, aux_sum), _ = jax.lax.scan(
+        body, (zeros_g, jnp.float32(0.0), zeros_aux), xs
+    )
+    inv = 1.0 / nch
+    grads = jax.tree.map(lambda g: g * inv, g_sum)
+    aux = jax.tree.map(lambda a: a * inv, aux_sum)
+    return l_sum * inv, aux, grads
+
+
 # every metric decision_step_impl returns (parallel/dp.py builds its
 # shard_map out_specs from this)
 METRIC_KEYS = (
@@ -270,7 +328,7 @@ def decision_step_impl(
             disc, last_value, (buf.reward, buf.done), reverse=True
         )  # (nstep, B)
 
-        (loss, _aux), grads = jax.value_and_grad(a2c_losses, has_aux=True)(
+        loss, _aux, grads = a2c_loss_and_grads(
             (actor_params, critic_params), actor, critic, buf, returns, n, rl, k_loss
         )
         if axis_name is not None:

@@ -71,6 +71,11 @@ def main(argv=None) -> None:
                     "(the reward pass scales with n_envs * max_frontiers)")
     ap.add_argument("--tensorboard", action="store_true",
                     help="also stream metrics to TensorBoard (reference parity)")
+    ap.add_argument("--grad-chunk", type=int, default=0,
+                    help="A2C gradient accumulation: chunk the nstep axis "
+                    "into k-step chunks for the backward (same gradient, "
+                    "1/(nstep/k) the activation memory — the joint backward "
+                    "over nstep*n_envs dense graphs OOMs at n_envs=64)")
     ap.add_argument("--bf16", action="store_true",
                     help="run the GCN conv matmuls in bfloat16 (params stay "
                     "float32) — learner-phase throughput knob; off by "
@@ -191,7 +196,10 @@ def main(argv=None) -> None:
         _save(args.out_dir, state, state.params, args.decisions)
     else:
         actor, critic = gnn.build_a2c_models(args.model, config.capacity.max_nodes)
-        rl = a2c.A2CConfig(n_envs=args.n_envs, edge_cap=args.edge_cap)
+        rl = a2c.A2CConfig(
+            n_envs=args.n_envs, edge_cap=args.edge_cap,
+            grad_chunk=args.grad_chunk,
+        )
         if mesh is not None:
             state = dp.init_dp_a2c(key, actor, critic, config, rl, mesh)
             step_fn = dp.dp_a2c_decision_step(actor, critic, config, rl, mesh)
