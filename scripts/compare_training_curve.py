@@ -50,8 +50,10 @@ def smooth(vals: np.ndarray, window: int) -> np.ndarray:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("ours", help="our temp_reward.csv")
-    ap.add_argument("--label", default="DQN+GCN (ours, TPU)")
+    ap.add_argument("ours", nargs="+",
+                    help="our temp_reward.csv file(s), one curve each")
+    ap.add_argument("--label", action="append", default=None,
+                    help="label per positional curve (repeatable)")
     ap.add_argument("--ref-dir", default="data/ref_curves")
     ap.add_argument("--window", type=int, default=100,
                     help="rolling-mean window over the logged points "
@@ -66,22 +68,32 @@ def main() -> None:
 
     fig, ax = plt.subplots(figsize=(8, 4.5), dpi=150)
 
-    steps, vals = read_curve(args.ours)
-    if len(steps) == 0:
-        raise SystemExit(
-            f"no curve data in {args.ours} yet (train.py appends rows only "
-            "after step_t > 1000)"
-        )
-    sm = smooth(vals, args.window)
-    ax.plot(steps, sm, color=COLORS[0], lw=2, label=args.label, zorder=3)
-    print(f"{args.label}: {int(steps[-1])} steps, "
-          f"trailing avg {vals[-1]:+.3f} (smoothed {sm[-1]:+.3f})")
+    labels = args.label or []
+    labels += [
+        f"ours #{i + 1}" for i in range(len(labels), len(args.ours))
+    ]
+    # solid heavier lines for our runs; dashed thin for reference curves —
+    # color alone must not carry the ours/reference distinction
+    for i, (path, label) in enumerate(zip(args.ours, labels)):
+        steps, vals = read_curve(path)
+        if len(steps) == 0:
+            raise SystemExit(
+                f"no curve data in {path} yet (train.py appends rows only "
+                "after step_t > 1000)"
+            )
+        sm = smooth(vals, args.window)
+        ax.plot(steps, sm, color=COLORS[i % len(COLORS)], lw=2, label=label,
+                zorder=3)
+        print(f"{label}: {int(steps[-1])} steps, "
+              f"trailing avg {vals[-1]:+.3f} (smoothed {sm[-1]:+.3f})")
 
+    n_ours = len(args.ours)
     for i, path in enumerate(sorted(glob.glob(os.path.join(args.ref_dir, "*.csv")))):
         name = os.path.basename(path).replace("_avg_reward.csv", "")
         rs, rv = read_curve(path)
-        ax.plot(rs, smooth(rv, args.window), color=COLORS[(i + 1) % len(COLORS)],
-                lw=1.2, alpha=0.9, label=f"{name} (reference)")
+        ax.plot(rs, smooth(rv, args.window),
+                color=COLORS[(n_ours + i) % len(COLORS)],
+                lw=1.2, ls="--", alpha=0.9, label=f"{name} (reference)")
         print(f"{name} (reference): final {rv[-1]:+.3f} at step {int(rs[-1])}")
 
     ax.set_xlabel("decision steps")
