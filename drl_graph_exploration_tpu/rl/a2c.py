@@ -57,6 +57,16 @@ class A2CConfig:
     #: activation memory.  Needed at n_envs=64: the joint backward over
     #: 2560 dense 529-node graphs wants ~22.6 GB of HBM vs the chip's 15.75.
     grad_chunk: int = 0
+    #: True = when the n-step window completes, run n_envs SEQUENTIAL
+    #: reference-shaped updates (one per env's 40-sample window, chained
+    #: through Adam) instead of one joint update over all nstep*n_envs
+    #: samples.  The reference performs one optimizer step per 40 single-env
+    #: decisions (policy.py:357-399); the joint form takes 64x fewer Adam
+    #: steps per env-decision at n_envs=64 and measurably learns slower
+    #: (joint run stalled at avg reward ~-0.19 by 50k decisions where the
+    #: reference crosses 0.0 at 28.8k).  Also bounds the backward to one
+    #: env's window, so it needs no grad_chunk.
+    per_env_updates: bool = False
 
 
 class A2CBuffer(NamedTuple):
@@ -328,32 +338,60 @@ def decision_step_impl(
             disc, last_value, (buf.reward, buf.done), reverse=True
         )  # (nstep, B)
 
-        loss, _aux, grads = a2c_loss_and_grads(
-            (actor_params, critic_params), actor, critic, buf, returns, n, rl, k_loss
-        )
-        if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            loss = jax.lax.pmean(loss, axis_name)
-        # reject non-finite updates wholesale (same guard as the DQN learner,
-        # dqn.py do_update: one bad batch must not poison the parameters)
-        grad_ok = jnp.all(
-            jnp.array([jnp.isfinite(g).all() for g in jax.tree.leaves(grads)])
-        )
-        updates, new_opt = make_optimizer(rl).update(
-            grads, opt_state, (actor_params, critic_params)
-        )
-        new_params = optax.apply_updates((actor_params, critic_params), updates)
-        (actor_params, critic_params) = jax.tree.map(
-            lambda new, old: jnp.where(grad_ok, new, old),
-            new_params,
-            (actor_params, critic_params),
-        )
-        opt_state = jax.tree.map(
-            lambda new, old: jnp.where(grad_ok, new, old), new_opt, opt_state
-        )
+        opt = make_optimizer(rl)
+
+        def one_update(carry, xs):
+            """One reference-shaped optimizer step on one sample window
+            (chained through Adam, like the DQN learner's scan)."""
+            params, opt_state = carry
+            buf_e, ret_e, k_e = xs
+            loss, _aux, grads = a2c_loss_and_grads(
+                params, actor, critic, buf_e, ret_e, n, rl, k_e
+            )
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+                loss = jax.lax.pmean(loss, axis_name)
+            # reject non-finite updates wholesale (same guard as the DQN
+            # learner: one bad batch must not poison the parameters)
+            grad_ok = jnp.all(
+                jnp.array([jnp.isfinite(g).all() for g in jax.tree.leaves(grads)])
+            )
+            updates, new_opt = opt.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            params = jax.tree.map(
+                lambda new, old: jnp.where(grad_ok, new, old), new_params, params
+            )
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(grad_ok, new, old), new_opt, opt_state
+            )
+            return (params, opt_state), (loss, grad_ok)
+
+        params0 = (actor_params, critic_params)
+        if rl.per_env_updates:
+            # (t, b, ...) -> (b, t, 1, ...): one 40-sample window per env,
+            # n_envs sequential updates — the reference's update density
+            per_env = jax.tree.map(
+                lambda x: jnp.moveaxis(x, 1, 0)[:, :, None], buf
+            )
+            rets = jnp.moveaxis(returns, 1, 0)[:, :, None]
+            keys = jax.random.split(k_loss, b)
+            (params, opt_state), (losses, oks) = jax.lax.scan(
+                one_update, (params0, opt_state), (per_env, rets, keys)
+            )
+            loss = jnp.mean(losses)
+            grad_ok_all = jnp.min(oks.astype(jnp.float32))
+        else:
+            (params, opt_state), (losses, oks) = jax.lax.scan(
+                one_update,
+                (params0, opt_state),
+                jax.tree.map(lambda x: x[None], (buf, returns, k_loss)),
+            )
+            loss = losses[0]
+            grad_ok_all = oks[0].astype(jnp.float32)
+        (actor_params, critic_params) = params
         diag = {
             "loss_ok": jnp.isfinite(loss).astype(jnp.float32),
-            "grad_ok": grad_ok.astype(jnp.float32),
+            "grad_ok": grad_ok_all,
         }
         return actor_params, critic_params, opt_state, loss, diag
 

@@ -76,6 +76,12 @@ def main(argv=None) -> None:
                     "into k-step chunks for the backward (same gradient, "
                     "1/(nstep/k) the activation memory — the joint backward "
                     "over nstep*n_envs dense graphs OOMs at n_envs=64)")
+    ap.add_argument("--per-env-updates", action="store_true",
+                    help="A2C: when the n-step window completes, run n_envs "
+                    "sequential reference-shaped updates (one per env's "
+                    "window) instead of one joint large-batch update — "
+                    "matches the reference's one-optimizer-step-per-40-"
+                    "decisions density")
     ap.add_argument("--bf16", action="store_true",
                     help="run the GCN conv matmuls in bfloat16 (params stay "
                     "float32) — learner-phase throughput knob; off by "
@@ -199,6 +205,7 @@ def main(argv=None) -> None:
         rl = a2c.A2CConfig(
             n_envs=args.n_envs, edge_cap=args.edge_cap,
             grad_chunk=args.grad_chunk,
+            per_env_updates=args.per_env_updates,
         )
         if mesh is not None:
             state = dp.init_dp_a2c(key, actor, critic, config, rl, mesh)
