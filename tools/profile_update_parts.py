@@ -83,8 +83,12 @@ def timed(name, fn, *args, reps=3, div=1.0):
 
 kk = jax.random.PRNGKey(3)
 
-sample_fn = jax.jit(lambda k: rp.sample(replay, k, rl.batch))
-batch = timed("sample", sample_fn, kk)
+# NOTE: the replay pytree (~1 GB) must be an explicit argument to every jitted
+# function here.  Closing over it bakes it into the lowered computation as a
+# constant, and the tunneled remote-compile service rejects the ~1 GB request
+# body (HTTP 413 / broken pipe) — the round-3 A/B failures in data/ab/*.txt.
+sample_fn = jax.jit(lambda rep, k: rp.sample(rep, k, rl.batch))
+batch = timed("sample", sample_fn, replay, kk)
 
 dens_fn = jax.jit(lambda b: jax.vmap(lambda gg: rp.densify(gg, n))(b.s))
 f_a_v = timed("densify", dens_fn, batch)
@@ -116,10 +120,10 @@ loss_nd_fn = jax.jit(lambda p, b, y: jax.value_and_grad(loss_nodrop)(p, b, y))
 timed("loss+grad nodrop", loss_nd_fn, params, batch, y)
 
 # the full scanned updates loop as in decision_step
-def updates(params, opt_state, k_sample, k_loss):
+def updates(rep, params, opt_state, k_sample, k_loss):
     def one(carry, k):
         params, opt_state = carry
-        b = rp.sample(replay, k, rl.batch)
+        b = rp.sample(rep, k, rl.batch)
         y = dqn.q_targets(params, model, b.s1, b.reward, b.done, rl, n)
         loss, grads = jax.value_and_grad(dqn.dqn_loss)(
             params, model, b, y, rl, n, jax.random.fold_in(k_loss, k[0])
@@ -133,4 +137,4 @@ def updates(params, opt_state, k_sample, k_loss):
 
 
 upd_fn = jax.jit(updates)
-timed(f"updates x{UPS}", upd_fn, params, opt_state, kk, kk, reps=2)
+timed(f"updates x{UPS}", upd_fn, replay, params, opt_state, kk, kk, reps=2)
