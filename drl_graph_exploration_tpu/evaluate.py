@@ -530,6 +530,30 @@ def run_batched(args, config, model, params, method: str):
         if done_n == b or cur_min >= max_step:
             break
 
+    # Loud guard against silent truncation: a lane whose pose store filled the
+    # TOP capacity bucket was force-finished by the capacity clause of
+    # ``is_done`` (a documented deviation — the reference has no cap), so its
+    # metric tail is NOT the episode the reference protocol would record.
+    # This exact failure produced invalid 60/80/100 CSVs when a refresh ran at
+    # the default --max-poses 512 (episodes there genuinely run to ~1464
+    # steps); make it impossible to miss.
+    cap_forced = int(
+        jax.device_get(
+            jax.jit(
+                jax.vmap(
+                    lambda s: s.belief.n_poses >= config.capacity.max_poses
+                )
+            )(states).sum()
+        )
+    )
+    if cap_forced:
+        print(
+            f"WARNING: {cap_forced}/{b} episodes were capacity-forced done at "
+            f"max_poses={config.capacity.max_poses}; their metrics are "
+            f"truncated — rerun with a larger --max-poses",
+            flush=True,
+        )
+
     # pad each lane's tail with its final value (test.py:146-151)
     rows = []
     ent = np.asarray(metrics["entropy"])
