@@ -61,7 +61,11 @@ class VirtualMapConfig:
     num_samples: int = 1
     ext: float = 20.0
     # Use the Pallas VMEM-resident covariance-intersection fold kernel for the
-    # information raster (TPU only; the XLA scan path is the portable default)
+    # information raster (TPU only; the XLA scan path is the portable default).
+    # Default OFF by measurement, not caution: the 2026-08-19 on-chip A/B
+    # (data/ab/ci_fold.txt) has XLA at 5.4 ms vs Pallas at 7.7 ms for the
+    # training-shape fold — XLA's fusion already keeps the fold VMEM-resident
+    # at these raster sizes, so the hand kernel only adds launch overhead.
     use_pallas: bool = False
     # Rows of the per-chunk stripe window for the information sweep (0 = full
     # grid).  Consecutive poses are spatially adjacent (odometry steps are
