@@ -53,10 +53,13 @@ git add data/eval && git commit -q \
   -m "self-trained DQN+GCN eval on the reference's 50 test worlds (final r3 snapshot)" \
   -- data/eval || true
 
-step "5. bench sanity + BENCH_B A/B"
+step "5. bench sanity + BENCH_B / BENCH_STRIPE A/B"
 timeout 1800 python bench.py | tee /tmp/bench_b128.json || true
 timeout 1800 env BENCH_B=256 python bench.py | tee /tmp/bench_b256.json || true
-echo "A/B: b128=$(cat /tmp/bench_b128.json 2>/dev/null) b256=$(cat /tmp/bench_b256.json 2>/dev/null)"
+timeout 1800 env BENCH_STRIPE=24 python bench.py | tee /tmp/bench_s24.json || true
+echo "A/B: b128=$(cat /tmp/bench_b128.json 2>/dev/null)"
+echo "     b256=$(cat /tmp/bench_b256.json 2>/dev/null)"
+echo "     s24 =$(cat /tmp/bench_s24.json 2>/dev/null)"
 
 step "6. stop durable-commit loop"
 if [ -f /tmp/durable.pid ]; then kill "$(cat /tmp/durable.pid)" 2>/dev/null || true; fi
