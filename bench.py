@@ -188,6 +188,68 @@ def episode(seed: int, init_fns, step_fns, refresh_fns, macro_fns, grow_fns):
     return steps
 
 
+def bench_decisions() -> None:
+    """Second tracked number (VERDICT r3, weak #4 / next #7): decision-loop
+    throughput at the shipping training config — n_envs=64, tightened map-40
+    capacities, band belief, updates ACTIVE (the phase mix that actually
+    gates training wall-clock).  ``vs_baseline`` is relative to round 3's
+    committed learning-config profile (19.8 env-dec/s, docs/PROFILE_r3.md) so
+    regressions are visible round-over-round."""
+    import numpy as np
+
+    from drl_graph_exploration_tpu.models import gnn
+    from drl_graph_exploration_tpu.rl import dqn
+
+    n_envs = int(os.environ.get("BENCH_DEC_ENVS", 64))
+    reps = int(os.environ.get("BENCH_DEC_REPS", 10))
+    base = ExplorationConfig().with_map_size(40.0).tightened()
+    config = dataclasses.replace(
+        base, capacity=dataclasses.replace(base.capacity, max_poses=512)
+    )
+    if jax.default_backend() not in ("cpu",):
+        config = dataclasses.replace(
+            config, belief=dataclasses.replace(config.belief, use_pallas=True)
+        )
+    config = dataclasses.replace(
+        config,
+        belief=dataclasses.replace(config.belief, representation="band"),
+        planner=dataclasses.replace(
+            config.planner, reward_goal_chunk=config.capacity.max_frontiers
+        ),
+    )
+    model = gnn.build_dqn_model("GCN", config.capacity.max_nodes)
+    # observe=1: the replay holds n_envs transitions after the first decision,
+    # so every timed decision runs the full 64-update learning phase.
+    # The learner knobs mirror drl_graph_exploration_tpu/train.py's shipping
+    # defaults (hoisted grouped targets, matmul densify, K-slot reset).
+    rl = dqn.RLConfig(
+        n_envs=n_envs, observe=1, updates_per_step=n_envs,
+        target_group=8, mm_densify=True, reset_slots=8,
+    )
+    state = dqn.init_dqn(jax.random.PRNGKey(0), model, config, rl)
+    step = lambda st: dqn.decision_step(st, model, config, rl)
+
+    for _ in range(3):  # compile + replay fill + steady-state warm-up
+        state, metrics = step(state)
+    float(metrics["reward"])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, metrics = step(state)
+    float(metrics["reward"])  # one tail sync (tunneled backend: ~25 ms RPC)
+    dt = time.perf_counter() - t0
+    dec_per_sec = n_envs * reps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "env_decisions_per_sec_training_config",
+                "value": round(dec_per_sec, 2),
+                "unit": "env_decisions/s/chip",
+                "vs_baseline": round(dec_per_sec / 19.8, 3),
+            }
+        )
+    )
+
+
 def main() -> None:
     config = ExplorationConfig()  # reference map-40 settings
     _, init_fns, step_fns, refresh_fns, macro_fns, grow_fns = build(config)
@@ -212,4 +274,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    from drl_graph_exploration_tpu.utils import chiplock
+
+    chiplock.acquire_if_tpu("bench")
+    if "--decisions" in sys.argv:
+        bench_decisions()
+    else:
+        main()

@@ -461,6 +461,17 @@ def evaluate_chains(
     lite = config.planner.rollout_lite or isinstance(belief, bel.BandBelief)
     b0 = bel.fork_lite(belief, config) if lite else belief
     upd = bel.step_update_lite if lite else bel.step_update
+    # Chain rollouts linearise once (EKF), like the reference's planning
+    # engine (FastMarginals2, Planner2D.cpp:472-551) — the same
+    # rollout_iekf_iterations override reward.rollout_reward applies, so the
+    # OG_SHANNON chain-utility path and the reward path share one fidelity
+    # rationale (advisor r3).
+    config = dataclasses.replace(
+        config,
+        belief=dataclasses.replace(
+            config.belief, iekf_iterations=config.planner.rollout_iekf_iterations
+        ),
+    )
 
     def one_chain(chain, valid):
         def step(b, inp):

@@ -239,6 +239,11 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     from .config import ExplorationConfig
+    from .utils import chiplock
+
+    # one chip, many scripts: block on the shared lock instead of racing the
+    # trainer (stop it first with tools/stop_training.py)
+    chiplock.acquire_if_tpu(f"eval:{args.method}:{args.model}:{args.map_size}")
 
     jax.config.update(
         "jax_compilation_cache_dir",
@@ -432,12 +437,14 @@ def run_batched(args, config, model, params, method: str):
         f = functools.partial(decision, config=cfg, n=cfg.capacity.max_nodes)
         return jax.jit(lambda s, fi, me, cu: f(s, fi, me, cu))
 
-    def measure_policy_latency(states) -> tuple[float, float]:
+    def measure_policy_latency(states) -> tuple[float, float, list[float]]:
         """Per-decision policy compute time, B=1, both methodologies
         (the reference's ``Computation time`` column is a single-env
         wall-clock around the model forward, ``test.py:109-121``).
 
-        Returns ``(steady_s, synced_s)``:
+        Returns ``(steady_s, synced_s, synced_samples)`` — the per-call
+        synced wall-clocks are also returned raw so the CSV can carry one
+        row per sample (reference schema):
 
         * **steady**: 20 dispatches with ONE final host sync.  A TPU core
           executes enqueued programs serially, so wall/20 is the true

@@ -61,12 +61,34 @@ def masked_softmax(logits: jax.Array, mask: jax.Array) -> jax.Array:
     return z
 
 
-def dropout(x: jax.Array, p: jax.Array, key: jax.Array | None) -> jax.Array:
-    """Functional dropout matching ``F.dropout``: active whenever p > 0."""
+def dropout(
+    x: jax.Array, p: jax.Array, key: jax.Array | None, fast: bool = False
+) -> jax.Array:
+    """Functional dropout matching ``F.dropout``: active whenever p > 0.
+
+    ``fast=True`` draws the mask from the TPU's hardware RNG
+    (``lax.rng_bit_generator``, rbg) instead of threefry — the learner phase
+    draws ~34 M mask bits per minibatch update and threefry is a long VPU
+    op-chain per draw.  Deterministic given the same key, but a *different*
+    stream than threefry (distributionally identical Bernoulli(p)); keep it
+    off where bit-reproducibility against earlier runs matters."""
     if key is None:
         return x
     keep = 1.0 - p
-    mask = jax.random.bernoulli(key, jnp.maximum(keep, 1e-12), x.shape)
+    if fast:
+        k4 = jnp.concatenate(
+            [key.astype(jnp.uint32).reshape(-1)[:2],
+             jnp.array([0x9E3779B9, 0x7F4A7C15], jnp.uint32)]
+        )
+        _, bits = jax.lax.rng_bit_generator(k4, x.shape, dtype=jnp.uint32)
+        # P(bits < keep * 2^32) = keep, up to 2^-32 quantisation
+        thresh = (jnp.clip(keep, 0.0, 1.0) * jnp.float32(4294967296.0)).astype(
+            jnp.uint32
+        )
+        # keep == 1 wraps to thresh 0; make it an explicit keep-all
+        mask = jnp.where(keep >= 1.0, True, bits < thresh)
+    else:
+        mask = jax.random.bernoulli(key, jnp.maximum(keep, 1e-12), x.shape)
     # p >= 1 zeroes everything, exactly like F.dropout(p=1)
     return jnp.where(keep > 0, jnp.where(mask, x / jnp.maximum(keep, 1e-12), 0.0), 0.0)
 
@@ -106,7 +128,8 @@ class GCN(nn.Module):
     compute_dtype: Any = None
 
     @nn.compact
-    def __call__(self, features, adj, node_valid, *, dropout_p=0.0, dropout_key=None):
+    def __call__(self, features, adj, node_valid, *, dropout_p=0.0,
+                 dropout_key=None, fast_dropout=False):
         a = normalize_adjacency(adj, node_valid)
         dt = self.compute_dtype
         if dt is not None:
@@ -114,7 +137,7 @@ class GCN(nn.Module):
             a = a.astype(dt)
         x = nn.relu(GCNConv(HIDDEN, name="conv1", dtype=dt)(features, a, node_valid))
         x = nn.relu(GCNConv(HIDDEN, name="conv2", dtype=dt)(x, a, node_valid))
-        x = dropout(x, dropout_p, dropout_key)
+        x = dropout(x, dropout_p, dropout_key, fast=fast_dropout)
         q = nn.Dense(1, name="fully_con1", dtype=dt)(x)[..., 0]
         return q.astype(jnp.float32)  # (..., N)
 
@@ -191,9 +214,10 @@ class GatedGraphConv(nn.Module):
 
 class GGNN(nn.Module):
     @nn.compact
-    def __call__(self, features, adj, node_valid, *, dropout_p=0.0, dropout_key=None):
+    def __call__(self, features, adj, node_valid, *, dropout_p=0.0,
+                 dropout_key=None, fast_dropout=False):
         x = nn.relu(GatedGraphConv(name="gconv1")(features, adj, node_valid))
-        x = dropout(x, dropout_p, dropout_key)
+        x = dropout(x, dropout_p, dropout_key, fast=fast_dropout)
         return nn.Dense(1, name="fully_con1")(x)[..., 0]
 
 
@@ -341,10 +365,11 @@ class GraphUNet(nn.Module):
     n_nodes: int = 128
 
     @nn.compact
-    def __call__(self, features, adj, node_valid, *, dropout_p=0.0, dropout_key=None):
+    def __call__(self, features, adj, node_valid, *, dropout_p=0.0,
+                 dropout_key=None, fast_dropout=False):
         x = _GraphUNetCore(self.n_nodes, name="core")(features, adj, node_valid)
         x = nn.relu(x)
-        x = dropout(x, dropout_p, dropout_key)
+        x = dropout(x, dropout_p, dropout_key, fast=fast_dropout)
         return nn.Dense(1, name="fully_con1")(x)[..., 0]
 
 

@@ -67,6 +67,9 @@ class A2CConfig:
     #: reference crosses 0.0 at 28.8k).  Also bounds the backward to one
     #: env's window, so it needs no grad_chunk.
     per_env_updates: bool = False
+    #: K-slot masked reset (see dqn.reset_where_done): reset at most this
+    #: many finished envs per decision, exact full-reset fallback beyond
+    reset_slots: int = 8
 
 
 class A2CBuffer(NamedTuple):
@@ -411,7 +414,7 @@ def decision_step_impl(
 
     # reset finished worlds --------------------------------------------------
     reset_keys = jax.random.split(k_reset, b)
-    envs = reset_where_done(done, reset_keys, envs, config)
+    envs = reset_where_done(done, reset_keys, envs, config, rl.reset_slots)
 
     metrics = {
         "reward": jnp.mean(r_t),

@@ -57,6 +57,26 @@ class RLConfig:
     edge_cap: int = 4096
     updates_per_step: int = 1
     world_size: int = 1  # devices in the data-parallel mesh
+    # --- learner-phase throughput knobs (round 4; see docs/PROFILE_r4.md) ---
+    #: > 0: hoist the Q-target computation out of the sequential
+    #: updates_per_step scan (target_params are FIXED across it, so targets
+    #: are parameter-independent) and batch it in groups of this many
+    #: minibatches — exactly the same numbers, fewer+larger MXU dispatches.
+    #: 0 keeps the legacy in-scan target path.  Must divide updates_per_step.
+    target_group: int = 0
+    #: densify replay graphs via the one-hot incidence matmul
+    #: (replay.densify_mm — bitwise-equal, MXU instead of serialized scatter)
+    mm_densify: bool = False
+    #: draw dropout masks from the TPU hardware RNG (models/gnn.dropout
+    #: fast=True): same Bernoulli distribution, different stream than
+    #: threefry — off where bit-reproducibility against old runs matters
+    fast_dropout: bool = False
+    #: reset at most this many finished envs per decision through a K-slot
+    #: gather/scatter (exact fallback to the full vmapped reset when more
+    #: finish at once).  The full fresh-world build for all n_envs is the
+    #: price of a whole macro-action and used to run whenever ANY env
+    #: finished (~80% of decisions at n_envs=64).  0 = always full reset.
+    reset_slots: int = 8
 
 
 class DQNState(NamedTuple):
@@ -133,35 +153,75 @@ def run_macro(env: EnvState, odoms, valid, config: ExplorationConfig) -> EnvStat
     return ee.refresh_rasters(env, config)
 
 
-def reset_where_done(done, keys, envs, config: ExplorationConfig):
+def reset_where_done(done, keys, envs, config: ExplorationConfig,
+                     k_slots: int = 8):
     """Re-init finished worlds in place (the reference rebuilds the env per
     episode); shared by both trainers.
 
     The fresh-world build (scatter + 4-step initial scan + rasters) is the
-    price of a whole macro-action, paid per decision even when nothing
-    finished — profiled at ~590 ms/step at the map-40 training config.  Since
-    ``done.any()`` is a scalar here (the batch axis is inside), a real
-    ``lax.cond`` branch skips it on the (typical) no-done step."""
+    price of a whole macro-action; vmapping it over all ``n_envs`` was
+    profiled at ~590 ms/step at the map-40 training config, and at n_envs=64
+    *some* env finishes on ~80% of decisions — so round 4 resets through a
+    ``lax.switch`` over three paths:
+
+    * no env done → identity (the common early-episode case);
+    * ≤ ``k_slots`` done → build only ``k_slots`` fresh worlds and scatter
+      them into the finished rows (k_slots/n_envs of the full cost).  Which
+      fresh key lands on which env differs from the full path, but every
+      finished env still gets an independent fresh world — distributionally
+      identical;
+    * more than ``k_slots`` done (done cascades, e.g. lockstep starts) →
+      the original full vmapped reset, so semantics are exact at any count.
+
+    ``k_slots=0`` (or ≥ n_envs) keeps the legacy all-env path."""
+    b = done.shape[0]
 
     def one(d, k, e):
         fresh = ee.reset(k, config)
         return jax.tree.map(
-            lambda a, b: jnp.where(jnp.reshape(d, (1,) * a.ndim), a, b), fresh, e
+            lambda a, b_: jnp.where(jnp.reshape(d, (1,) * a.ndim), a, b_), fresh, e
         )
 
-    return jax.lax.cond(
-        done.any(),
-        lambda args: jax.vmap(one)(*args),
-        lambda args: args[2],
-        (done, keys, envs),
-    )
+    def full(args):
+        return jax.vmap(one)(*args)
+
+    def identity(args):
+        return args[2]
+
+    if not k_slots or k_slots >= b:
+        return jax.lax.cond(done.any(), full, identity, (done, keys, envs))
+
+    def some(args):
+        done, keys, envs = args
+        # finished rows first (argsort is stable: ties keep index order)
+        order = jnp.argsort(jnp.logical_not(done))
+        idx = order[:k_slots]
+        sel = done[idx]
+        fresh = jax.vmap(lambda k: ee.reset(k, config))(keys[:k_slots])
+
+        def put(buf, new):
+            cur = buf[idx]
+            rep = jnp.where(
+                jnp.reshape(sel, sel.shape + (1,) * (new.ndim - 1)), new, cur
+            )
+            return buf.at[idx].set(rep)
+
+        return jax.tree.map(put, envs, fresh)
+
+    count = jnp.sum(done.astype(jnp.int32))
+    branch = jnp.where(count == 0, 0, jnp.where(count <= k_slots, 1, 2))
+    return jax.lax.switch(branch, [identity, some, full], (done, keys, envs))
+
+
+def _densify(rl: RLConfig):
+    return rp.densify_mm if rl.mm_densify else rp.densify
 
 
 def q_targets(
     target_params, model, s1: SparseGraph, rewards, dones, rl: RLConfig, n: int
 ):
     """y = r + gamma * max_{frontier slots of s1} Q_target(s1)  (``policy.py:160-178``)."""
-    feats, adj, valid = jax.vmap(lambda g: rp.densify(g, n))(s1)
+    feats, adj, valid = jax.vmap(lambda g: _densify(rl)(g, n))(s1)
     q1 = model.apply(target_params, feats, adj, valid)  # (B, N)
     mask = jax.vmap(lambda g: frontier_slot_mask(g.key_size, g.fro_size, n))(s1)
     has_frontier = mask.any(axis=-1)
@@ -178,9 +238,10 @@ def q_targets(
 
 
 def dqn_loss(params, model, batch: Transition, y, rl: RLConfig, n: int, key):
-    feats, adj, valid = jax.vmap(lambda g: rp.densify(g, n))(batch.s)
+    feats, adj, valid = jax.vmap(lambda g: _densify(rl)(g, n))(batch.s)
     q = model.apply(
-        params, feats, adj, valid, dropout_p=jnp.float32(0.5), dropout_key=key
+        params, feats, adj, valid, dropout_p=jnp.float32(0.5), dropout_key=key,
+        fast_dropout=rl.fast_dropout,
     )  # (B, N)
     q_sel = jnp.take_along_axis(q, batch.action_node[:, None], axis=-1)[:, 0]
     # transitions stored at episode end with no frontier carry a fabricated
@@ -241,6 +302,7 @@ def decision_step_impl(
         obs.node_valid,
         dropout_p=eps,
         dropout_key=k_drop,
+        fast_dropout=rl.fast_dropout,
     )  # (B, N)
     fmask = jax.vmap(lambda ks, fs: frontier_slot_mask(ks, fs, n))(
         obs.key_size, obs.fro_size
@@ -277,14 +339,18 @@ def decision_step_impl(
         """``rl.updates_per_step`` sequential minibatch updates (the reference
         performs one gradient update per *single-env* decision,
         ``policy.py:131-181``; a batched step advances ``n_envs`` decisions,
-        so matching its update density needs ``updates_per_step = n_envs``)."""
+        so matching its update density needs ``updates_per_step = n_envs``).
 
-        def one_update(carry, k):
-            params, opt_state = carry
-            batch = rp.sample(new_replay, k, rl.batch)
-            y = q_targets(
-                state.target_params, model, batch.s1, batch.reward, batch.done, rl, n
-            )
+        With ``rl.target_group > 0`` the Q-target pass is hoisted out of the
+        sequential scan: ``target_params`` are FIXED across all updates of a
+        decision, so every ``y`` is parameter-independent and can be computed
+        up-front in groups of ``target_group`` minibatches — identical
+        numbers (same sample keys → same replay rows, same math), but the
+        target forward + densify runs as U/G large batched dispatches instead
+        of U small ones inside the param-carrying scan."""
+
+        def apply_one(params, opt_state, batch, y, k):
+            """Shared gradient/optimizer tail of one minibatch update."""
             loss, grads = jax.value_and_grad(dqn_loss)(
                 params, model, batch, y, rl, n, jax.random.fold_in(k_loss, k[0])
             )
@@ -314,10 +380,57 @@ def decision_step_impl(
             return (params, opt_state), (loss, diag)
 
         params, opt_state = args
-        keys = jax.random.split(k_sample, max(1, rl.updates_per_step))
-        (params, opt_state), (losses, diags) = jax.lax.scan(
-            one_update, (params, opt_state), keys
-        )
+        u = max(1, rl.updates_per_step)
+        keys = jax.random.split(k_sample, u)
+
+        if rl.target_group:
+            if u % rl.target_group:
+                raise ValueError(
+                    f"target_group {rl.target_group} must divide "
+                    f"updates_per_step {u}"
+                )
+            size = jnp.maximum(new_replay.size, 1)
+            # same draws as rp.sample would make per update key
+            idx = jax.vmap(
+                lambda k: jax.random.randint(k, (rl.batch,), 0, size)
+            )(keys)  # (U, B)
+            gidx = idx.reshape(u // rl.target_group, rl.target_group * rl.batch)
+
+            def tgt(_, ix):
+                s1 = jax.tree.map(lambda buf: buf[ix], new_replay.data.s1)
+                y = q_targets(
+                    state.target_params, model, s1,
+                    new_replay.data.reward[ix], new_replay.data.done[ix], rl, n,
+                )
+                return None, y
+
+            _, ys = jax.lax.scan(tgt, None, gidx)
+            ys = ys.reshape(u, rl.batch)
+
+            def one_update(carry, inp):
+                k, ix, y = inp
+                # full-transition gather for signature parity with rp.sample;
+                # the s1/reward/done rows are dead here (y is precomputed)
+                # and XLA eliminates the gathers
+                batch = jax.tree.map(lambda buf: buf[ix], new_replay.data)
+                return apply_one(*carry, batch, y, k)
+
+            (params, opt_state), (losses, diags) = jax.lax.scan(
+                one_update, (params, opt_state), (keys, idx, ys)
+            )
+        else:
+
+            def one_update(carry, k):
+                batch = rp.sample(new_replay, k, rl.batch)
+                y = q_targets(
+                    state.target_params, model, batch.s1, batch.reward,
+                    batch.done, rl, n,
+                )
+                return apply_one(*carry, batch, y, k)
+
+            (params, opt_state), (losses, diags) = jax.lax.scan(
+                one_update, (params, opt_state), keys
+            )
         loss = jnp.mean(losses)
         diag = {k: jnp.min(v) for k, v in diags.items()}  # 0 if any update bad
         return params, opt_state, loss, diag
@@ -352,7 +465,7 @@ def decision_step_impl(
 
     # 7. reset finished worlds ----------------------------------------------
     reset_keys = jax.random.split(k_reset, b)
-    envs = reset_where_done(done, reset_keys, envs, config)
+    envs = reset_where_done(done, reset_keys, envs, config, rl.reset_slots)
 
     metrics = {
         "reward": jnp.mean(r_t),

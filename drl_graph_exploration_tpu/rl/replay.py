@@ -72,6 +72,27 @@ def densify(g: SparseGraph, n: int) -> tuple[jax.Array, jax.Array, jax.Array]:
     return g.features.astype(jnp.float32), adj, node_valid
 
 
+def densify_mm(g: SparseGraph, n: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """MXU-form :func:`densify`: build the dense adjacency as a one-hot
+    incidence matmul instead of a scatter.
+
+    Bitwise-equal to the scatter path: ``sparsify``'s top_k picks *distinct*
+    upper-triangle positions, so every output cell receives exactly one
+    nonzero contribution (plus exact-zero padding terms) — summation order
+    cannot change the value.  The contraction is (N, E) @ (E, N) with
+    E = edge capacity; at the training config that is ~2.3 GFLOP per graph of
+    dense MXU work, replacing a serialized scatter-update loop that dominated
+    the learner update's non-matmul time."""
+    w = g.edge_w.astype(jnp.float32)
+    src = jax.nn.one_hot(g.edge_idx[:, 0], n, dtype=jnp.float32)  # (E, N)
+    dst = jax.nn.one_hot(g.edge_idx[:, 1], n, dtype=jnp.float32)
+    upper = jnp.einsum("en,e,em->nm", src, w, dst,
+                       preferred_element_type=jnp.float32)
+    adj = upper + upper.T
+    node_valid = jnp.arange(n) < (g.key_size + g.fro_size)
+    return g.features.astype(jnp.float32), adj, node_valid
+
+
 def init_replay(capacity: int, n_nodes: int, e_cap: int) -> ReplayState:
     def zg():
         return SparseGraph(

@@ -22,10 +22,22 @@ import argparse
 import csv
 import dataclasses
 import os
+import signal
 import time
 
 import jax
 import numpy as np
+
+#: set by the SIGTERM/SIGINT handler; the decision loop checks it after every
+#: step and exits through a full checkpoint-save (exit code 0, so the
+#: supervisor treats a requested stop as "finished" and does not restart) —
+#: preemption then costs at most one in-flight decision, not the distance to
+#: the last periodic checkpoint (VERDICT r3, weak #1)
+_STOP = {"sig": None}
+
+
+def _on_stop_signal(signum, frame):  # noqa: ARG001
+    _STOP["sig"] = signum
 
 
 def main(argv=None) -> None:
@@ -38,7 +50,19 @@ def main(argv=None) -> None:
                     help="batched decision steps (x n_envs = env decisions)")
     ap.add_argument("--out-dir", default="runs/default")
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--checkpoint-every", type=int, default=500)
+    ap.add_argument("--checkpoint-every", type=int, default=250,
+                    help="FULL trainer-state checkpoint cadence (decisions); "
+                    "the full state is ~1 GB at the training config, so this "
+                    "stays coarse — fine-grained durability comes from "
+                    "--slim-every and the SIGTERM save")
+    ap.add_argument("--slim-every", type=int, default=25,
+                    help="slim (learner-only, ~16 MB) checkpoint + CSV "
+                    "cadence (decisions); 0 disables")
+    ap.add_argument("--target-step-t", type=int, default=0,
+                    help="stop once step_t reaches this single-env decision "
+                    "count (0 = run --decisions steps); makes the schedule "
+                    "total survive supervisor restarts instead of re-running "
+                    "--decisions from wherever it resumed")
     ap.add_argument("--resume", default=None)
     ap.add_argument("--resume-slim", default=None,
                     help="resume the learner (params/opt/step_t) from a slim "
@@ -82,17 +106,49 @@ def main(argv=None) -> None:
                     "window) instead of one joint large-batch update — "
                     "matches the reference's one-optimizer-step-per-40-"
                     "decisions density")
+    ap.add_argument("--target-group", type=int, default=8,
+                    help="DQN: hoist Q-target computation out of the "
+                    "sequential update scan in groups of this many "
+                    "minibatches (identical numbers — target params are "
+                    "fixed across a decision's updates); 0 = legacy in-scan "
+                    "targets.  Must divide updates-per-step.")
+    ap.add_argument("--mm-densify", action="store_true", default=True,
+                    help="densify replay graphs via the one-hot incidence "
+                    "matmul (bitwise-equal; MXU instead of serialized "
+                    "scatter)")
+    ap.add_argument("--no-mm-densify", dest="mm_densify", action="store_false")
+    ap.add_argument("--fast-dropout", action="store_true",
+                    help="draw dropout masks from the TPU hardware RNG "
+                    "(same Bernoulli distribution, different stream than "
+                    "threefry — not bit-reproducible against older runs)")
+    ap.add_argument("--reset-slots", type=int, default=8,
+                    help="reset at most this many finished envs per decision "
+                    "(exact full-reset fallback beyond); 0 = always full "
+                    "reset")
     ap.add_argument("--bf16", action="store_true",
                     help="run the GCN conv matmuls in bfloat16 (params stay "
                     "float32) — learner-phase throughput knob; off by "
                     "default for bit-parity with imported weights")
     args = ap.parse_args(argv)
 
+    # graceful preemption: SIGTERM/SIGINT finish the in-flight decision, save
+    # a full checkpoint and exit 0 (see _STOP); registered before the first
+    # compile so even a stop during warm-up saves cleanly
+    signal.signal(signal.SIGTERM, _on_stop_signal)
+    signal.signal(signal.SIGINT, _on_stop_signal)
+
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # one chip, many scripts: hold the exclusive chip lock for the run (the
+    # OS releases it on any exit); eval/bench wait on the same lock instead
+    # of killing the trainer (utils/chiplock.py)
+    from .utils import chiplock
+
+    chiplock.acquire_if_tpu(f"train:{args.method}:{args.model}:{args.out_dir}")
 
     from flax import serialization
 
@@ -159,6 +215,10 @@ def main(argv=None) -> None:
             compute_dtype=jnp.bfloat16 if args.bf16 else None,
         )
         target_update = 15000 if args.model == "GCN" else 9000
+        ups = args.updates_per_step or args.n_envs
+        tg = args.target_group
+        while tg and ups % tg:
+            tg -= 1  # largest divisor at or below the requested group
         rl = dqn.RLConfig(
             n_envs=args.n_envs,
             target_update=target_update,
@@ -166,7 +226,11 @@ def main(argv=None) -> None:
             batch=args.batch,
             replay_memory=args.replay,
             edge_cap=args.edge_cap,
-            updates_per_step=args.updates_per_step or args.n_envs,
+            updates_per_step=ups,
+            target_group=tg,
+            mm_densify=args.mm_densify,
+            fast_dropout=args.fast_dropout,
+            reset_slots=args.reset_slots,
         )
         if mesh is not None:
             state = dp.init_dp_dqn(key, model, config, rl, mesh)
@@ -177,35 +241,15 @@ def main(argv=None) -> None:
             step = lambda st: dqn.decision_step(st, model, config, rl)
         state = _try_resume(state, args.resume, serialization)
         state = _try_resume_slim(state, args.resume_slim, serialization)
-
-        # step_t advances by n_envs * world_size per decision (rl/dqn.py:263),
-        # so it is computed host-side; per-decision metrics stay on device and
-        # are fetched in ONE batched transfer every few decisions — on the
-        # tunneled backend every host sync is a ~25 ms RPC that also stalls
-        # the dispatch pipeline, so per-scalar float() calls each step cost
-        # real throughput
-        start_step = int(state.step_t)
-        per_decision = args.n_envs * max(args.devices, 1)
-        pending: list = []
-        for i in range(args.decisions):
-            state, metrics = step(state)
-            pending.append((i, start_step + (i + 1) * per_decision, metrics))
-            if i % 10 == 0 or (i + 1) % args.checkpoint_every == 0 \
-                    or i + 1 == args.decisions:
-                for j, st_host, m in pending:
-                    _log(jax.device_get(m), st_host, rewards_log, curve_rows,
-                         j, args, t_start, tb_writer, loss_rows)
-                pending.clear()
-            if (i + 1) % args.checkpoint_every == 0:
-                _save(args.out_dir, state, state.params, i + 1,
-                      rewards_log, curve_rows, loss_rows)
-        _save(args.out_dir, state, state.params, args.decisions)
+        _decision_loop(state, step, lambda s: s.params, args,
+                       (rewards_log, curve_rows, loss_rows), t_start, tb_writer)
     else:
         actor, critic = gnn.build_a2c_models(args.model, config.capacity.max_nodes)
         rl = a2c.A2CConfig(
             n_envs=args.n_envs, edge_cap=args.edge_cap,
             grad_chunk=args.grad_chunk,
             per_env_updates=args.per_env_updates,
+            reset_slots=args.reset_slots,
         )
         if mesh is not None:
             state = dp.init_dp_a2c(key, actor, critic, config, rl, mesh)
@@ -216,22 +260,8 @@ def main(argv=None) -> None:
             step = lambda st: a2c.decision_step(st, actor, critic, config, rl)
         state = _try_resume(state, args.resume, serialization)
         state = _try_resume_slim(state, args.resume_slim, serialization)
-        start_step = int(state.step_t)  # host-side step_t (see DQN loop)
-        per_decision = args.n_envs * max(args.devices, 1)
-        pending = []
-        for i in range(args.decisions):
-            state, metrics = step(state)
-            pending.append((i, start_step + (i + 1) * per_decision, metrics))
-            if i % 10 == 0 or (i + 1) % args.checkpoint_every == 0 \
-                    or i + 1 == args.decisions:
-                for j, st_host, m in pending:
-                    _log(jax.device_get(m), st_host, rewards_log, curve_rows,
-                         j, args, t_start, tb_writer, loss_rows)
-                pending.clear()
-            if (i + 1) % args.checkpoint_every == 0:
-                _save(args.out_dir, state, state.actor_params, i + 1,
-                      rewards_log, curve_rows, loss_rows)
-        _save(args.out_dir, state, state.actor_params, args.decisions)
+        _decision_loop(state, step, lambda s: s.actor_params, args,
+                       (rewards_log, curve_rows, loss_rows), t_start, tb_writer)
 
     with open(reward_path, "w", newline="") as f:
         w = csv.writer(f)
@@ -247,6 +277,52 @@ def main(argv=None) -> None:
         for row in loss_rows:
             w.writerow(row)
     print(f"done in {time.time() - t_start:.1f}s -> {args.out_dir}")
+
+
+def _decision_loop(state, step, params_of, args, logs, t_start, tb_writer):
+    """Shared DQN/A2C decision loop: batched metric fetches, slim/full
+    checkpoint cadences, SIGTERM-save, and the ``--target-step-t`` stop.
+
+    step_t advances by ``n_envs * world_size`` per decision (rl/dqn.py), so
+    it is computed host-side; per-decision metrics stay on device and are
+    fetched in ONE batched transfer every few decisions — on the tunneled
+    backend every host sync is a ~25 ms RPC that also stalls the dispatch
+    pipeline, so per-scalar ``float()`` calls each step cost real
+    throughput."""
+    rewards_log, curve_rows, loss_rows = logs
+    start_step = int(state.step_t)
+    per_decision = args.n_envs * max(args.devices, 1)
+    pending: list = []
+    slim = args.slim_every
+    done_reason = ""
+    i = -1
+    for i in range(args.decisions):
+        state, metrics = step(state)
+        st_host = start_step + (i + 1) * per_decision
+        pending.append((i, st_host, metrics))
+        if args.target_step_t and st_host >= args.target_step_t:
+            done_reason = f"target step_t {args.target_step_t} reached"
+        if _STOP["sig"] is not None:
+            done_reason = f"stop signal {_STOP['sig']} — checkpointing"
+        full_tick = (i + 1) % args.checkpoint_every == 0
+        slim_tick = slim and (i + 1) % slim == 0
+        if i % 10 == 0 or slim_tick or full_tick or done_reason \
+                or i + 1 == args.decisions:
+            for j, st, m in pending:
+                _log(jax.device_get(m), st, rewards_log, curve_rows,
+                     j, args, t_start, tb_writer, loss_rows)
+            pending.clear()
+        if full_tick and not done_reason:
+            _save(args.out_dir, state, params_of(state), i + 1,
+                  rewards_log, curve_rows, loss_rows)
+        elif slim_tick and not done_reason:
+            _save_slim(args.out_dir, state, rewards_log, curve_rows, loss_rows)
+        if done_reason:
+            print(f"[train] {done_reason}", flush=True)
+            break
+    _save(args.out_dir, state, params_of(state), i + 1,
+          rewards_log, curve_rows, loss_rows)
+    return state
 
 
 def _log(metrics, step_t, rewards_log, curve_rows, i, args, t_start,
@@ -297,11 +373,15 @@ def _write_atomic(path: str, data: bytes) -> None:
 
 
 def _try_resume(state, resume_path, serialization):
-    """Resume from a checkpoint; a corrupt/truncated file (e.g. killed
-    mid-write before atomic saves existed) falls back to a fresh start
-    instead of crash-looping the supervisor."""
+    """Resume from a checkpoint.  A *missing* file is a hard error (a typo'd
+    ``--resume`` silently training from scratch can waste a whole round —
+    advisor r3); only genuinely corrupt content (e.g. killed mid-write before
+    atomic saves existed) falls back to a fresh start, so the supervisor's
+    restart loop survives a truncated checkpoint."""
     if not resume_path:
         return state
+    if not os.path.exists(resume_path):
+        raise SystemExit(f"[train] --resume file does not exist: {resume_path}")
     try:
         with open(resume_path, "rb") as f:
             return serialization.from_bytes(state, f.read())
@@ -328,9 +408,14 @@ def _slim_dict(state) -> dict:
 def _try_resume_slim(state, path, serialization):
     """Restore the learner (params/opt/counters) from a slim checkpoint into
     a freshly-initialised trainer state; envs and replay start fresh and
-    re-warm (the epsilon/target schedules continue from the saved step_t)."""
+    re-warm (the epsilon/target schedules continue from the saved step_t).
+
+    A missing file hard-fails (see :func:`_try_resume`); only corrupt
+    content falls back to a fresh start."""
     if not path:
         return state
+    if not os.path.exists(path):
+        raise SystemExit(f"[train] --resume-slim file does not exist: {path}")
     try:
         with open(path, "rb") as f:
             restored = serialization.from_bytes(_slim_dict(state), f.read())
@@ -338,6 +423,20 @@ def _try_resume_slim(state, path, serialization):
     except Exception as e:  # noqa: BLE001 - any corrupt checkpoint
         print(f"[train] slim resume failed ({e!r}); starting fresh", flush=True)
         return state
+
+
+def _save_slim(out_dir, state, rewards_log=None, curve_rows=None,
+               loss_rows=None) -> None:
+    """Learner-only checkpoint + CSVs (~16 MB vs the ~1 GB full state): the
+    fine-grained durability tick.  A hard kill between full checkpoints then
+    costs replay/env warm-up on resume, not learned progress."""
+    from flax import serialization
+
+    _write_atomic(
+        os.path.join(out_dir, "slim_state.msgpack"),
+        serialization.to_bytes(_slim_dict(state)),
+    )
+    _save_csvs(out_dir, rewards_log, curve_rows, loss_rows)
 
 
 def _save(out_dir, state, params, i, rewards_log=None, curve_rows=None,
@@ -355,6 +454,11 @@ def _save(out_dir, state, params, i, rewards_log=None, curve_rows=None,
         os.path.join(out_dir, "slim_state.msgpack"),
         serialization.to_bytes(_slim_dict(state)),
     )
+    _save_csvs(out_dir, rewards_log, curve_rows, loss_rows)
+
+
+def _save_csvs(out_dir, rewards_log=None, curve_rows=None,
+               loss_rows=None) -> None:
     # incremental CSVs so an interrupted run keeps its curves
     if rewards_log is not None:
         with open(os.path.join(out_dir, "reward_data.csv"), "w", newline="") as f:

@@ -55,10 +55,35 @@ def main() -> None:
     ap.add_argument("--restart-delay-sec", type=float, default=5.0)
     ap.add_argument("--progress-bytes", type=int, default=2048,
                     help="log growth that counts as real output, not banners")
+    ap.add_argument("--grace-sec", type=float, default=180.0,
+                    help="wait for the trainer's SIGTERM checkpoint-save "
+                         "before escalating to SIGKILL")
     ap.add_argument("train_args", nargs=argparse.REMAINDER,
                     help="arguments after -- go to the trainer")
     args = ap.parse_args()
     train_args = [a for a in args.train_args if a != "--"]
+
+    # graceful shutdown (tools/stop_training.py): forward SIGTERM to the
+    # trainer — its handler saves a full checkpoint and exits 0 — then exit
+    # WITHOUT restarting.  This replaces round 3's kill-by-pid-file scripts
+    # that lost up to ~6k decisions per preemption.
+    stopping = {"flag": False}
+
+    def _on_term(signum, frame):  # noqa: ARG001
+        stopping["flag"] = True
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
+    def graceful_kill(proc, grace):
+        """SIGTERM (checkpoint-save) -> grace wait -> SIGKILL."""
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=grace)
+        except subprocess.TimeoutExpired:
+            print("[supervisor] grace expired — SIGKILL", flush=True)
+            proc.send_signal(signal.SIGKILL)
+            proc.wait()
 
     os.makedirs(args.out_dir, exist_ok=True)
     log_path = os.path.join(args.out_dir, "train.log")
@@ -79,6 +104,14 @@ def main() -> None:
     saw_progress = False
     while True:
         time.sleep(args.poll_sec)
+        if stopping["flag"]:
+            print("[supervisor] stop requested — graceful trainer shutdown",
+                  flush=True)
+            if proc.poll() is None:
+                graceful_kill(proc, args.grace_sec)
+            print(f"[supervisor] stopped (trainer exit {proc.poll()})",
+                  flush=True)
+            return
         ret = proc.poll()
         if ret is not None:
             if ret == 0:
@@ -102,8 +135,11 @@ def main() -> None:
                 f"[supervisor] stall > {window}s — killing pid {proc.pid}",
                 flush=True,
             )
-            proc.send_signal(signal.SIGKILL)
-            proc.wait()
+            # a stalled trainer may still be able to run its SIGTERM
+            # checkpoint-save (stalls are usually a wedged *dispatch*, the
+            # Python loop wakes on the signal); only a short grace here —
+            # if it is truly wedged the checkpoint cadence bounds the loss
+            graceful_kill(proc, min(args.grace_sec, 60.0))
 
         restarts += 1
         if restarts > args.max_restarts:
