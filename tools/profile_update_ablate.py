@@ -71,7 +71,7 @@ def make_updates(rl):
     k_sample = jax.random.PRNGKey(1)
     k_loss = jax.random.PRNGKey(2)
 
-    def run(params, opt_state):
+    def run(params, opt_state, replay):
         u = rl.updates_per_step
         keys = jax.random.split(k_sample, u)
 
@@ -128,11 +128,11 @@ def make_updates(rl):
 
 def timed(name, rl, reps=3):
     run, opt_state = make_updates(rl)
-    out = run(params, opt_state)
+    out = run(params, opt_state, replay)
     float(out[1])
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = run(params, opt_state)
+        out = run(params, opt_state, replay)
         float(out[1])
     wall = (time.perf_counter() - t0) / reps
     print(f"  {name:34s} {wall * 1e3:9.1f} ms  ({wall * 1e3 / UPS:6.2f} ms/update)",
