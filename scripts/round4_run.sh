@@ -24,7 +24,7 @@ nohup python tools/train_supervisor.py \
   --max-restarts 100 --grace-sec 180 -- \
   --method DQN --model GCN --map-size 40 --n-envs 64 \
   --decisions 1000000 --target-step-t 1000000 --observe 5000 \
-  --checkpoint-every 250 --slim-every 25 --seed 0 \
+  --checkpoint-every 750 --slim-every 25 --seed 0 \
   --fast-dropout $RESUME \
   > runs/supervisor_dqn.log 2>&1 &
 echo $! > /tmp/sup_dqn.pid
