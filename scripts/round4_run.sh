@@ -14,9 +14,28 @@ OUT=${1:-runs/dqn_gcn_map40_r3}
 # stop any previous supervisor gracefully (checkpoint-save, no restart)
 python tools/stop_training.py --pid-file /tmp/sup_dqn.pid --grace 180 || true
 
+# fresh VM (runs/ is not committed): seed the run dir from the durable
+# git snapshot so --resume-slim continues the schedule and the CSV curves
+# extend instead of restarting from zero
+if [ ! -d "$OUT" ] && [ -f data/ckpt/dqn_gcn_map40/slim_state.msgpack ]; then
+  mkdir -p "$OUT"
+  cp data/ckpt/dqn_gcn_map40/slim_state.msgpack \
+     data/ckpt/dqn_gcn_map40/MyModel.msgpack \
+     data/ckpt/dqn_gcn_map40/reward_data.csv \
+     data/ckpt/dqn_gcn_map40/temp_reward.csv \
+     data/ckpt/dqn_gcn_map40/temp_loss.csv "$OUT/" 2>/dev/null || true
+  echo "seeded $OUT from data/ckpt/dqn_gcn_map40 (durable snapshot)"
+fi
+
 RESUME=""
 if [ -f "$OUT/trainer_state.msgpack" ]; then
   RESUME="--resume $OUT/trainer_state.msgpack"
+elif [ -f "$OUT/slim_state.msgpack" ]; then
+  # learner-only resume: replay/envs re-warm, schedules continue from the
+  # saved step_t; supervisor restarts add --resume once a full checkpoint
+  # lands (the run-dir slim file is always >= the full file, so applying
+  # both keeps the newest learner with the newest available replay)
+  RESUME="--resume-slim $OUT/slim_state.msgpack"
 fi
 
 nohup python tools/train_supervisor.py \
