@@ -51,14 +51,27 @@ if [ "$(left)" -gt 600 ]; then
 fi
 
 if [ "$(left)" -gt 1500 ]; then
-  step "2. g-U-Net DQN to the reference band (16k env-decisions @ P=256)"
+  step "2. g-U-Net DQN toward the reference band (@ P=256)"
+  # resume the round-3 smoke (step_t 5120, observe-phase only — learning had
+  # barely started) so the committed curve extends instead of restarting;
+  # replay re-warms 2000 steps, epsilon/target schedules continue from 5120
+  G=runs/dqn_gunet_map40_r4
+  if [ ! -d "$G" ]; then
+    mkdir -p "$G"
+    cp data/ckpt/dqn_gunet_map40/slim_state.msgpack \
+       data/ckpt/dqn_gunet_map40/MyModel.msgpack \
+       data/ckpt/dqn_gunet_map40/reward_data.csv \
+       data/ckpt/dqn_gunet_map40/temp_reward.csv \
+       data/ckpt/dqn_gunet_map40/temp_loss.csv "$G/" 2>/dev/null || true
+  fi
   timeout "$(( $(left) > 4500 ? 4500 : $(left) - 300 ))" \
     python -m drl_graph_exploration_tpu.train \
     --method DQN --model g-U-Net --map-size 40 --n-envs 64 --max-poses 256 \
-    --decisions 250 --target-step-t 16000 --observe 2000 \
-    --checkpoint-every 50 --slim-every 25 --seed 0 \
-    --out-dir runs/dqn_gunet_map40_r4 || true
-  python tools/durable_commit.py --run-dir runs/dqn_gunet_map40_r4 \
+    --decisions 400 --target-step-t 26000 --observe 2000 \
+    --checkpoint-every 100 --slim-every 25 --seed 0 \
+    --resume-slim "$G/slim_state.msgpack" \
+    --out-dir "$G" || true
+  python tools/durable_commit.py --run-dir "$G" \
     --dest data/ckpt/dqn_gunet_map40 --once || true
 fi
 
