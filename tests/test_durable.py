@@ -72,6 +72,46 @@ def test_slim_resume_restores_learner_not_envs(tmp_path):
     assert int(resumed.replay.size) == 0
 
 
+def test_full_then_slim_resume_keeps_newest_learner(tmp_path):
+    """Supervisor restarts pass BOTH --resume (full checkpoint) and
+    --resume-slim (run-dir slim file).  train.py applies full first, slim
+    second; the run dir's slim file is always at least as new as the full
+    file (every full save rewrites it, slim saves land between), so the
+    combined result must be: newest learner fields from the slim file, replay
+    ring and env batch from the full checkpoint."""
+    from flax import serialization
+
+    from drl_graph_exploration_tpu.train import _try_resume
+
+    model = gnn.build_dqn_model("GCN", CFG.capacity.max_nodes)
+    older = dqn.init_dqn(jax.random.PRNGKey(0), model, CFG, RL)
+    older = older._replace(
+        step_t=jnp.int32(1000),
+        replay=older.replay._replace(size=jnp.int32(7)),
+    )
+    _save(str(tmp_path), older, older.params, 1)  # full + slim at step 1000
+    # a later slim-only save advances the learner past the full checkpoint
+    newer = older._replace(
+        step_t=jnp.int32(1500),
+        params=jax.tree.map(lambda p: p + 2.0, older.params),
+    )
+    from drl_graph_exploration_tpu.train import _save_slim
+
+    _save_slim(str(tmp_path), newer)
+
+    fresh = dqn.init_dqn(jax.random.PRNGKey(7), model, CFG, RL)
+    state = _try_resume(
+        fresh, str(tmp_path / "trainer_state.msgpack"), serialization
+    )
+    state = _try_resume_slim(
+        state, str(tmp_path / "slim_state.msgpack"), serialization
+    )
+    assert int(state.step_t) == 1500  # newest learner wins
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(newer.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state.replay.size) == 7  # replay from the full checkpoint
+
+
 def test_slim_resume_corrupt_falls_back(tmp_path):
     from flax import serialization
 
