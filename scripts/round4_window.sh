@@ -19,7 +19,7 @@ W=/root/reference/data/torch_weights
 
 # No NEW chip work after this moment (epoch seconds).  Individual steps
 # also get absolute timeouts so nothing can run past the driver's bench.
-DEADLINE=${DEADLINE:-$(date -d '2026-08-20 08:50 UTC' +%s)}
+DEADLINE=${DEADLINE:-$(date -d '2026-08-20 09:10 UTC' +%s)}
 
 step() { echo "=== $(date +%H:%M:%S) $*"; }
 # /tmp/chip_yield (tools/bench_yield.py) == the driver's end-of-round bench
