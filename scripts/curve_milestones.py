@@ -28,7 +28,12 @@ def load_times(run_dir: str) -> list[tuple[int, float]]:
     """(step_t, wall_seconds_since_launch) from train.log decision lines."""
     out = []
     pat = re.compile(r"\[\s*([0-9.]+)s\] decision \d+ step_t (\d+)")
-    with open(os.path.join(run_dir, "train.log"), errors="replace") as f:
+    path = os.path.join(run_dir, "train.log")
+    if not os.path.exists(path):  # durable snapshots carry only the tail
+        path = os.path.join(run_dir, "train.log.tail")
+    if not os.path.exists(path):
+        return []
+    with open(path, errors="replace") as f:
         for line in f:
             m = pat.search(line)
             if m:

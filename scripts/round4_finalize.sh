@@ -44,7 +44,7 @@ python scripts/compare_training_curve.py \
   --out data/eval/training_curve.png || true
 
 step "4. DQN curve milestones (full run)"
-python scripts/curve_milestones.py data/ckpt/dqn_gcn_map40/temp_reward.csv || true
+python scripts/curve_milestones.py runs/dqn_gcn_map40_r3 || true
 
 step "5. eval CSV summaries (current tree)"
 for f in data/eval/40_DQN_GCN_selftrained_refworlds.csv \
