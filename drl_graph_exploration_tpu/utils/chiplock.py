@@ -57,6 +57,14 @@ def acquire(tag: str, path: str = "", timeout: float = 0.0, poll: float = 5.0):
                 )
                 warned = True
             time.sleep(poll)
+    # Tunnel-teardown grace: after the previous holder exits, the chip
+    # tunnel keeps its client slot for a few seconds; a backend init in
+    # that window fails AND deregisters the plugin for the process
+    # lifetime (observed 2026-08-20: profiler died 26 s after an
+    # evaluator exited, while a fresh process 15 s later was fine).  If
+    # anyone ever held this lock before us, wait out the teardown.
+    if holder(path):
+        time.sleep(float(os.environ.get("TPU_CHIP_LOCK_GRACE", "10")))
     os.ftruncate(fd, 0)
     os.pwrite(fd, f"{tag} pid={os.getpid()}".encode(), 0)
     _held.append(fd)
@@ -76,12 +84,15 @@ def holder(path: str = "") -> str:
 def acquire_if_tpu(tag: str, timeout: float = 0.0):
     """Acquire the lock only when the ambient backend is a real accelerator.
 
-    Must be called BEFORE the backend is initialised elsewhere if the caller
-    wants strict exclusion; checking the backend itself initialises it, which
-    is fine — holding the lock matters for the long compute, not the probe.
+    TPU-ness is decided from ``JAX_PLATFORMS`` WITHOUT initialising the
+    backend: the tunneled chip admits one client, so probing it while another
+    process holds the chip fails backend discovery outright (the plugin drops
+    out of the known-backends list).  Lock first, init after — the round-4b
+    profiler hit exactly this race against a running evaluator.
     """
-    import jax
-
-    if jax.default_backend() == "cpu":
-        return None
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if platforms and all(
+        p.strip() in ("cpu", "") for p in platforms.split(",")
+    ):
+        return None  # explicitly CPU-pinned (tests, host-side trainers)
     return acquire(tag, timeout=timeout)

@@ -32,6 +32,12 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+from drl_graph_exploration_tpu.utils import chiplock
+
+# the tunneled chip admits ONE client: take the flock BEFORE backend init
+# (initializing while an evaluator holds the chip fails backend discovery)
+chiplock.acquire_if_tpu("profile_phases")
+
 from drl_graph_exploration_tpu.config import ExplorationConfig
 from drl_graph_exploration_tpu.env import exploration_env as ee
 from drl_graph_exploration_tpu.models import gnn

@@ -64,7 +64,7 @@ replay = rp.ReplayState(
 )
 
 
-def make_updates(rl):
+def make_updates(rl, model=model):
     """The do_update scan, lifted verbatim from dqn.decision_step_impl."""
     opt = dqn.make_optimizer(rl)
     opt_state = opt.init(params)
@@ -126,8 +126,8 @@ def make_updates(rl):
     return jax.jit(run), opt_state
 
 
-def timed(name, rl, reps=3):
-    run, opt_state = make_updates(rl)
+def timed(name, rl, reps=3, model=model):
+    run, opt_state = make_updates(rl, model)
     out = run(params, opt_state, replay)
     float(out[1])
     t0 = time.perf_counter()
@@ -141,15 +141,32 @@ def timed(name, rl, reps=3):
 
 
 base_rl = dqn.RLConfig(n_envs=64, updates_per_step=UPS, batch=BATCH, observe=1)
-timed("legacy (r3 shipping)", base_rl)
-timed("mm_densify", dataclasses.replace(base_rl, mm_densify=True))
-timed("fast_dropout", dataclasses.replace(base_rl, fast_dropout=True))
-timed("target_group=4", dataclasses.replace(base_rl, target_group=4))
-timed("target_group=8", dataclasses.replace(base_rl, target_group=8))
-timed("tg8 + mm", dataclasses.replace(base_rl, target_group=8, mm_densify=True))
-timed("tg8 + mm + fast_drop",
-      dataclasses.replace(base_rl, target_group=8, mm_densify=True,
-                          fast_dropout=True))
-timed("tg16 + mm + fast_drop",
-      dataclasses.replace(base_rl, target_group=16, mm_densify=True,
-                          fast_dropout=True))
+
+if "--r4b" in sys.argv:
+    # Round-4b A/B: the bf16-split densify (bitwise-equal, now the
+    # densify_mm implementation) vs the round-4 f32 einsum, and bf16 GCN
+    # compute (opt-in, NOT bit-exact) on top.  tg8+fast_drop held fixed
+    # (the round-4 shipping learner knobs).
+    ship = dataclasses.replace(
+        base_rl, target_group=8, mm_densify=True, fast_dropout=True
+    )
+    _mm_bf16 = rp.densify_mm
+    rp.densify_mm = rp._densify_mm_f32
+    timed("ship, densify f32 einsum (r4)", ship)
+    rp.densify_mm = _mm_bf16
+    timed("ship, densify bf16 split (r4b)", ship)
+    timed("  + GCN compute bf16", ship,
+          model=gnn.GCN(compute_dtype=jnp.bfloat16))
+else:
+    timed("legacy (r3 shipping)", base_rl)
+    timed("mm_densify", dataclasses.replace(base_rl, mm_densify=True))
+    timed("fast_dropout", dataclasses.replace(base_rl, fast_dropout=True))
+    timed("target_group=4", dataclasses.replace(base_rl, target_group=4))
+    timed("target_group=8", dataclasses.replace(base_rl, target_group=8))
+    timed("tg8 + mm", dataclasses.replace(base_rl, target_group=8, mm_densify=True))
+    timed("tg8 + mm + fast_drop",
+          dataclasses.replace(base_rl, target_group=8, mm_densify=True,
+                              fast_dropout=True))
+    timed("tg16 + mm + fast_drop",
+          dataclasses.replace(base_rl, target_group=16, mm_densify=True,
+                              fast_dropout=True))
