@@ -57,12 +57,13 @@ def acquire(tag: str, path: str = "", timeout: float = 0.0, poll: float = 5.0):
                 )
                 warned = True
             time.sleep(poll)
-    # Tunnel-teardown grace: after the previous holder exits, the chip
-    # tunnel keeps its client slot for a few seconds; a backend init in
-    # that window fails AND deregisters the plugin for the process
-    # lifetime (observed 2026-08-20: profiler died 26 s after an
-    # evaluator exited, while a fresh process 15 s later was fine).  If
-    # anyone ever held this lock before us, wait out the teardown.
+    # Tunnel-teardown grace: give the previous holder's client slot a few
+    # seconds to clear before the caller initialises the backend — a failed
+    # init deregisters the plugin for the process lifetime, so one early
+    # probe would kill the whole run.  (Belt-and-braces: the one failure
+    # mode actually observed so far was a clobbered PYTHONPATH dropping the
+    # plugin's site dir, not this race — but the race is real in principle
+    # and 10 s is free next to any chip job.)
     if holder(path):
         time.sleep(float(os.environ.get("TPU_CHIP_LOCK_GRACE", "10")))
     os.ftruncate(fd, 0)
