@@ -69,7 +69,12 @@ config = dataclasses.replace(
     ),
 )
 model = gnn.build_dqn_model("GCN", config.capacity.max_nodes)
-rl = dqn.RLConfig(n_envs=N_ENVS, updates_per_step=N_ENVS, observe=1)
+# the SHIPPING learner knobs (train.py defaults) — without these the updates
+# phase silently profiles the legacy scatter/in-scan-target path
+rl = dqn.RLConfig(
+    n_envs=N_ENVS, updates_per_step=N_ENVS, observe=1,
+    target_group=8, mm_densify=True, reset_slots=8,
+)
 n = config.capacity.max_nodes
 
 state = dqn.init_dqn(jax.random.PRNGKey(0), model, config, rl)
