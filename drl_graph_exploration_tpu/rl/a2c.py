@@ -48,7 +48,7 @@ class A2CConfig:
     max_grad_norm: float = 0.5
     lr: float = 1e-5
     n_envs: int = 16
-    edge_cap: int = 4096
+    edge_cap: int = 2048  # measured-margin cap, see rl.dqn.RLConfig.edge_cap
     world_size: int = 1
     #: gradient accumulation over the nstep axis: 0 = one joint backward over
     #: all nstep*n_envs samples (the reference's shape at n_envs=1); k > 0 =

@@ -54,7 +54,16 @@ class RLConfig:
     max_grad_norm: float = 0.5
     lr: float = 1e-5
     n_envs: int = 16  # per-device env count
-    edge_cap: int = 4096
+    #: top-k edge slots per stored graph.  Measured from real rings
+    #: (tools/edge_stats.py): the completed 1e6 DQN+GCN run's ring peaks at
+    #: 328 real edges (P=512, converged), early training at P=256 peaks at
+    #: 529 — so 2048 keeps >=2x margin over the worst observed graph even
+    #: allowing for denser early-P=512 episodes, while halving densify_mm
+    #: FLOPs, one-hot build, ring memory and sample-gather traffic vs the
+    #: round-3 worst-case 4096.  Stored graphs are bitwise-identical
+    #: whenever the real edge count fits (always, in observed data);
+    #: pathological overflows drop lightest-first (replay.sparsify).
+    edge_cap: int = 2048
     updates_per_step: int = 1
     world_size: int = 1  # devices in the data-parallel mesh
     # --- learner-phase throughput knobs (round 4; see docs/PROFILE_r4.md) ---

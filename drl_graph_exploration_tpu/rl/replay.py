@@ -84,36 +84,13 @@ def densify_mm(g: SparseGraph, n: int) -> tuple[jax.Array, jax.Array, jax.Array]
     dense MXU work, replacing a serialized scatter-update loop that dominated
     the learner update's non-matmul time.
 
-    The contraction runs in **bfloat16 without losing a bit** (round 4b):
-    edge weights are stored f16 (11-bit significand), and any f16 value is
-    exactly ``hi + lo`` for two bf16 terms (8 + 8 significand bits; the
-    residual after the first rounding carries <= 4 significant bits, and
-    bf16's exponent range is a superset of f16's, subnormals included).  The
-    one-hot factors are exact {0, 1} in bf16, each scaled row ``0 | hi_e`` is
-    a bf16 value, the MXU accumulates in f32, and each output cell has
-    exactly one nonzero term — so two bf16 matmuls reproduce the f32 einsum
-    bit for bit at ~2x the MXU rate (exhaustive-over-f16 proof:
-    ``tests/test_update_equivalence.py::test_bf16_split_exhaustive_f16``)."""
-    w = g.edge_w.astype(jnp.float32)  # f16 -> f32, exact
-    hi = w.astype(jnp.bfloat16)
-    lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)  # exact residual
-    src = jax.nn.one_hot(g.edge_idx[:, 0], n, dtype=jnp.bfloat16)  # (E, N)
-    dst = jax.nn.one_hot(g.edge_idx[:, 1], n, dtype=jnp.bfloat16)
-    upper = jnp.einsum(
-        "en,em->nm", src * hi[:, None], dst,
-        preferred_element_type=jnp.float32,
-    ) + jnp.einsum(
-        "en,em->nm", src * lo[:, None], dst,
-        preferred_element_type=jnp.float32,
-    )
-    adj = upper + upper.T
-    node_valid = jnp.arange(n) < (g.key_size + g.fro_size)
-    return g.features.astype(jnp.float32), adj, node_valid
-
-
-def _densify_mm_f32(g: SparseGraph, n: int) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """The round-4 f32 form of :func:`densify_mm`, kept only as the A/B
-    baseline for ``tools/profile_update_ablate.py``."""
+    Precision note (round 4b, measured): a bf16-split form — edge weights
+    are f16, any f16 is exactly hi+lo for two bf16 terms, one-hots are exact
+    in bf16 — reproduces this einsum bit for bit, but timed SLOWER on the
+    axon v5e backend (711.9 vs 628.0 ms for the 64-update scan,
+    ``data/ab/updates_ablate_r4b.txt``): the single fused scale+matmul
+    beats two half-rate passes, i.e. the phase is not matmul-rate-bound.
+    The f32 einsum stays."""
     w = g.edge_w.astype(jnp.float32)
     src = jax.nn.one_hot(g.edge_idx[:, 0], n, dtype=jnp.float32)  # (E, N)
     dst = jax.nn.one_hot(g.edge_idx[:, 1], n, dtype=jnp.float32)

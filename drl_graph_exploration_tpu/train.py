@@ -74,7 +74,8 @@ def main(argv=None) -> None:
     ap.add_argument("--observe", type=int, default=5000)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--replay", type=int, default=10000)
-    ap.add_argument("--edge-cap", type=int, default=4096)
+    ap.add_argument("--edge-cap", type=int, default=2048,
+                    help="top-k edge slots per stored graph (see rl.dqn.RLConfig.edge_cap)")
     ap.add_argument("--reward-chunk", type=int, default=0,
                     help="parallel reward rollouts per goal chunk (0 = all "
                          "goals in one chunk — cheap since rollouts fork a "

@@ -45,23 +45,28 @@ params = model.init(key, jnp.zeros((n, 5)), jnp.zeros((n, n)), jnp.ones((n,), bo
 
 # synthetic filled replay (same construction as profile_update_parts.py)
 cap = 10000
-E = 4096
-k1, k2 = jax.random.split(key)
-feats = jax.random.normal(k1, (cap, n, 5))
-ei = jax.random.randint(k2, (cap, E, 2), 0, n)
-ew = jnp.abs(jax.random.normal(k1, (cap, E))).astype(jnp.float16)
-g = rp.SparseGraph(
-    features=feats, edge_idx=ei, edge_w=ew,
-    key_size=jnp.full((cap,), n - 17, jnp.int32),
-    fro_size=jnp.full((cap,), 9, jnp.int32),
-)
-replay = rp.ReplayState(
-    data=rp.Transition(
-        s=g, action_node=jnp.zeros((cap,), jnp.int32),
-        reward=jnp.zeros((cap,)), s1=g, done=jnp.zeros((cap,), bool),
-    ),
-    cursor=jnp.int32(0), size=jnp.int32(cap),
-)
+
+
+def make_replay(E):
+    k1, k2 = jax.random.split(key)
+    feats = jax.random.normal(k1, (cap, n, 5))
+    ei = jax.random.randint(k2, (cap, E, 2), 0, n)
+    ew = jnp.abs(jax.random.normal(k1, (cap, E))).astype(jnp.float16)
+    g = rp.SparseGraph(
+        features=feats, edge_idx=ei, edge_w=ew,
+        key_size=jnp.full((cap,), n - 17, jnp.int32),
+        fro_size=jnp.full((cap,), 9, jnp.int32),
+    )
+    return rp.ReplayState(
+        data=rp.Transition(
+            s=g, action_node=jnp.zeros((cap,), jnp.int32),
+            reward=jnp.zeros((cap,)), s1=g, done=jnp.zeros((cap,), bool),
+        ),
+        cursor=jnp.int32(0), size=jnp.int32(cap),
+    )
+
+
+replay = make_replay(4096)
 
 
 def make_updates(rl, model=model):
@@ -126,7 +131,7 @@ def make_updates(rl, model=model):
     return jax.jit(run), opt_state
 
 
-def timed(name, rl, reps=3, model=model):
+def timed(name, rl, reps=3, model=model, replay=replay):
     run, opt_state = make_updates(rl, model)
     out = run(params, opt_state, replay)
     float(out[1])
@@ -143,20 +148,21 @@ def timed(name, rl, reps=3, model=model):
 base_rl = dqn.RLConfig(n_envs=64, updates_per_step=UPS, batch=BATCH, observe=1)
 
 if "--r4b" in sys.argv:
-    # Round-4b A/B: the bf16-split densify (bitwise-equal, now the
-    # densify_mm implementation) vs the round-4 f32 einsum, and bf16 GCN
-    # compute (opt-in, NOT bit-exact) on top.  tg8+fast_drop held fixed
-    # (the round-4 shipping learner knobs).
+    # Round-4b A/B: the replay edge capacity E.  densify_mm's contraction
+    # is (N, E) @ (E, N) — FLOPs, one-hot build, replay memory and sample
+    # gathers all scale with E, and the real edge-count distribution from
+    # the finished 1e6 run says how low the cap can go without touching
+    # stored graphs (tools/edge_stats.py).  Ship knobs held fixed.
+    # (Earlier r4b A/B, kept in data/ab/updates_ablate_r4b.txt: a
+    # bitwise-equal bf16-split densify measured SLOWER than the fused f32
+    # einsum — 711.9 vs 628.0 ms — and GCN bf16 compute saved ~86 ms,
+    # opt-in only since it is not bit-exact.)
     ship = dataclasses.replace(
         base_rl, target_group=8, mm_densify=True, fast_dropout=True
     )
-    _mm_bf16 = rp.densify_mm
-    rp.densify_mm = rp._densify_mm_f32
-    timed("ship, densify f32 einsum (r4)", ship)
-    rp.densify_mm = _mm_bf16
-    timed("ship, densify bf16 split (r4b)", ship)
-    timed("  + GCN compute bf16", ship,
-          model=gnn.GCN(compute_dtype=jnp.bfloat16))
+    timed("ship, edge_cap 4096 (r4)", ship)
+    timed("ship, edge_cap 2048", ship, replay=make_replay(2048))
+    timed("ship, edge_cap 1024", ship, replay=make_replay(1024))
 else:
     timed("legacy (r3 shipping)", base_rl)
     timed("mm_densify", dataclasses.replace(base_rl, mm_densify=True))
