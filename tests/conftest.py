@@ -15,10 +15,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the host has a single CPU and cold test-suite
-# compiles dominate wall time; cached, reruns drop from hours to minutes
+# compiles dominate wall time; cached, reruns drop from hours to minutes.
+# The suite gets its OWN cache dir (not the chip jobs' .jax_cache): a
+# concurrent writer once left a corrupt entry whose read ABORTED the whole
+# test process (2026-08-20, get_executable_and_time -> Fatal Python error),
+# and segregating by platform keeps one backend's artifacts out of the
+# other's keyspace entirely.
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu8"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # Belief-covariance math is validated at high precision on CPU; the TPU path
