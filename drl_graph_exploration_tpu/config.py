@@ -117,6 +117,18 @@ class PlannerConfig:
     # iterates or relinearises — so 1 is the faithful (and ~1.4x faster)
     # setting; the live belief keeps belief.iekf_iterations for stability.
     rollout_iekf_iterations: int = 1
+    # Segment boundaries for the batched reward-rollout scan
+    # (reward.rewards_all_goals_batched): each segment past a boundary runs
+    # under ONE batch-level lax.cond on "does any (env, goal) lane have a
+    # valid primitive action beyond this boundary" — decisions whose longest
+    # macro-action is short skip the padded scan tail entirely.  Bitwise
+    # identical to the unsegmented scan (padding steps are exact no-ops,
+    # tests/test_reward_split.py); () disables.  Chosen from the measured
+    # macro-length distribution (tools/action_stats.py,
+    # data/ab/action_stats.txt, map 40): lanes are p50=6 p90=15 p99=20, but
+    # the gate is the per-decision MAX over all n_envs*G lanes (p50=16
+    # max=26 at 8 envs; higher at 64), so boundaries sit in the upper tail.
+    rollout_scan_splits: tuple = (16, 20, 24, 28)
 
 
 @dataclass(frozen=True)

@@ -415,6 +415,28 @@ def rewards_all_goals(
     return norm, raw, state
 
 
+def rewards_all_goals_batched(
+    states: EnvState,  # batched over envs (B, ...)
+    frontiers: Frontiers,  # (B, ...)
+    goal_actions: MacroActions,  # (B, G, ...)
+    config: ExplorationConfig,
+) -> tuple[jax.Array, jax.Array, EnvState]:
+    """Batch-level twin of ``vmap(rewards_all_goals)`` — identical numbers
+    (tests/test_reward_split.py), but the reward rollout scan is hoisted to
+    batch level so its padded tail can be skipped per decision
+    (``reward.rewards_all_goals_batched``)."""
+    kr, kn = jax.vmap(jax.random.split, out_axes=1)(states.rng)
+    gv = jnp.arange(frontiers.xy.shape[-2])[None, :] < frontiers.count[:, None]
+    raw = rw.rewards_all_goals_batched(
+        states.world, states.belief, states.vmap, goal_actions, gv, kr, config
+    )
+    best = jax.vmap(lambda r, v: jnp.nanargmax(jnp.where(v, r, -jnp.inf)))(raw, gv)
+    nearest_is_best = best == 0  # frontier slot 0 is the robot-nearest one
+    norm = jax.vmap(rw.normalize_rewards)(raw, gv, nearest_is_best)
+    states = states._replace(rng=kn, loop_clo=~nearest_is_best)
+    return norm, raw, states
+
+
 # ---------------------------------------------------------------------------
 # metrics (reference eval harness)
 

@@ -48,35 +48,14 @@ def calculate_utility(
     return uncertainty + distance * distance_weight(vmap_state, config)
 
 
-def rollout_reward(
-    world_state: WorldState,
-    belief: BeliefState,
-    vmap_state: VirtualMapState,
-    actions: MacroActions,
-    key: jax.Array,
-    config: ExplorationConfig,
-) -> jax.Array:
-    """Forked-state rollout of one macro-action sequence; reward =
-    utility(before) - utility(after) (``Planner2D.cpp:1416-1468``).
-
-    Two TPU-native structural savings over the reference's per-step clone:
-
-    * invalid (padding) actions are masked no-ops, not ``lax.cond`` branches
-      (a cond under vmap selects over the whole forked covariance);
-    * the rasters are pure rebuilds of the belief, and only the *final*
-      utility is ever read — so the per-step raster updates the reference
-      performs inside ``simulations_reward`` collapse into ONE rebuild from
-      the final belief (bit-identical result, T times less raster work).
-    """
-    aw = config.planner.angle_weight
-    initial_u = calculate_utility(vmap_state, jnp.float32(0.0), config)
+def _rollout_setup(belief, config: ExplorationConfig):
+    """Shared rollout plumbing: the lite/full fork decision and the
+    single-linearisation config (the reference's planning engine,
+    ``FastMarginals2``, linearises once — see
+    ``PlannerConfig.rollout_iekf_iterations``)."""
     # a BandBelief forks for free and has no full-matrix path
     lite = config.planner.rollout_lite or isinstance(belief, bel.BandBelief)
-    b0 = bel.fork_lite(belief, config) if lite else belief
     upd = bel.step_update_lite if lite else bel.step_update
-    # Rollout belief updates linearise once (EKF), like the reference's
-    # planning engine (FastMarginals2) — see PlannerConfig.rollout_iekf_
-    # iterations.  Applied to both forks so lite == full stays testable.
     import dataclasses as _dc
 
     cfg_r = _dc.replace(
@@ -85,6 +64,16 @@ def rollout_reward(
             config.belief, iekf_iterations=config.planner.rollout_iekf_iterations
         ),
     )
+    return lite, upd, cfg_r
+
+
+def _rollout_step_fn(upd, cfg_r, config: ExplorationConfig):
+    """Scan body for one primitive rollout step over carry ``(world, fork,
+    dist)``.  Padding/overflow steps are EXACT no-ops (masked/dropped writes
+    all the way down — ``wd.move(valid=False)``, ``upd(enabled=False)``),
+    which is what makes segment-skipping (``rewards_all_goals_batched``)
+    bitwise-equal to the full scan."""
+    aw = config.planner.angle_weight
 
     def step(carry, inputs):
         w, b, dist = carry
@@ -103,16 +92,48 @@ def rollout_reward(
         b2 = upd(b, odom, meas, cfg_r, enabled=alive)
         return (w2, b2, dist), None
 
+    return step
+
+
+def _rollout_finalize(carry, vmap_state, initial_u, config: ExplorationConfig):
+    """Final raster rebuild + utility delta.  The rasters are pure rebuilds
+    of the belief and only the *final* utility is ever read — so the
+    per-step raster updates the reference performs inside
+    ``simulations_reward`` collapse into ONE rebuild from the final belief
+    (bit-identical result, T times less raster work)."""
+    _, b, dist = carry
+    v = vm.update_probability(vmap_state, b, config)
+    v = vm.update_information(v, b, config)
+    return initial_u - calculate_utility(v, dist, config)
+
+
+def rollout_reward(
+    world_state: WorldState,
+    belief: BeliefState,
+    vmap_state: VirtualMapState,
+    actions: MacroActions,
+    key: jax.Array,
+    config: ExplorationConfig,
+) -> jax.Array:
+    """Forked-state rollout of one macro-action sequence; reward =
+    utility(before) - utility(after) (``Planner2D.cpp:1416-1468``).
+
+    Structural savings over the reference's per-step clone: invalid
+    (padding) actions are masked no-ops, not ``lax.cond`` branches (a cond
+    under vmap selects over the whole forked covariance), and the raster
+    work collapses into one final rebuild (see :func:`_rollout_finalize`).
+    """
+    initial_u = calculate_utility(vmap_state, jnp.float32(0.0), config)
+    lite, upd, cfg_r = _rollout_setup(belief, config)
+    b0 = bel.fork_lite(belief, config) if lite else belief
+    step = _rollout_step_fn(upd, cfg_r, config)
     keys = jax.random.split(key, actions.odoms.shape[0])
-    (w, b, dist), _ = jax.lax.scan(
+    carry, _ = jax.lax.scan(
         step,
         (world_state, b0, jnp.float32(0.0)),
         (actions.odoms, actions.valid, keys),
     )
-    v = vm.update_probability(vmap_state, b, config)
-    v = vm.update_information(v, b, config)
-    final_u = calculate_utility(v, dist, config)
-    return initial_u - final_u
+    return _rollout_finalize(carry, vmap_state, initial_u, config)
 
 
 def rewards_all_goals(
@@ -158,6 +179,107 @@ def rewards_all_goals(
 
     out = jax.lax.map(one_chunk, (odoms_c, valid_c, keys_c, gv_c))
     return out.reshape(-1)[:g]
+
+
+def rewards_all_goals_batched(
+    world_b: WorldState,  # batched over envs: (B, ...)
+    belief_b,  # batched LiteBelief/BandBelief/BeliefState
+    vmap_b: VirtualMapState,  # (B, ...)
+    goal_actions_b: MacroActions,  # (B, G, A, 3) / (B, G, A)
+    goal_valid_b: jax.Array,  # (B, G) bool
+    keys_b: jax.Array,  # (B,) per-env rollout keys
+    config: ExplorationConfig,
+) -> jax.Array:
+    """(B, G) raw rewards — the batch-level twin of
+    ``vmap(rewards_all_goals)`` with a segmented rollout scan.
+
+    The per-lane rollout is a scan over ``max_macro_actions`` (=34 at map
+    40) padded steps, but a ``line_plan`` macro-action to a typical frontier
+    is far shorter — and a ``lax.cond`` *inside* the vmapped rollout cannot
+    skip the tail (vmap lowers cond to select: both branches run).  Hoisting
+    the rollout to batch level makes the skip predicate scalar: the scan is
+    cut at ``planner.rollout_scan_splits`` and each tail segment runs under
+    one cond on "any lane still has a valid action past this boundary".
+    Padding steps are exact no-ops (``wd.move(valid=False)``,
+    ``step_update(enabled=False)``), so skipping them is bitwise-equal to
+    the full scan (tests/test_reward_split.py).
+
+    Falls back to the chunked per-env path when the config chunks goals
+    (``reward_goal_chunk < G`` bounds live forked-state memory — segment
+    skipping would hold all B*G forks live at once).
+    """
+    g = goal_valid_b.shape[-1]
+    t = goal_actions_b.odoms.shape[-2]
+    splits = tuple(
+        s for s in config.planner.rollout_scan_splits if 0 < s < t
+    )
+    chunk = max(1, min(config.planner.reward_goal_chunk, g))
+    lite, upd, cfg_r = _rollout_setup(belief_b, config)
+    if not splits or chunk < g or not lite:
+        # chunked configs bound live forked-state memory sequentially; a
+        # full-matrix fork would hold B*G (D, D) covariances at once —
+        # both route through the legacy per-env path
+        return jax.vmap(
+            lambda w, b, v, a, gv, k: rewards_all_goals(w, b, v, a, gv, k, config)
+        )(world_b, belief_b, vmap_b, goal_actions_b, goal_valid_b, keys_b)
+
+    step = _rollout_step_fn(upd, cfg_r, config)
+
+    # the reference key derivation, unchanged: env key -> G goal keys -> T
+    # step keys (rollout_reward splits per step inside its scan; here the
+    # per-step keys are pre-split so segments can slice them)
+    gkeys = jax.vmap(lambda k: jax.random.split(k, g))(keys_b)  # (B, G, key)
+    tkeys = jax.vmap(jax.vmap(lambda k: jax.random.split(k, t)))(gkeys)
+
+    initial_u = jax.vmap(
+        lambda v: calculate_utility(v, jnp.float32(0.0), config)
+    )(vmap_b)  # (B,)
+
+    fork1 = (
+        jax.vmap(lambda b: bel.fork_lite(b, config))(belief_b) if lite else belief_b
+    )
+    # broadcast the per-env fork/world over the goal axis: every goal lane
+    # starts from the same forked state (what vmap(rollout_reward) also does)
+    def bcast(x):
+        return jnp.broadcast_to(
+            x[:, None], (x.shape[0], g) + x.shape[1:]
+        )
+
+    carry = jax.tree.map(
+        bcast,
+        (world_b, fork1, jnp.zeros((goal_valid_b.shape[0],), jnp.float32)),
+    )
+
+    def seg(c, odoms, valid, ks):
+        out, _ = jax.lax.scan(step, c, (odoms, valid, ks))
+        return out
+
+    vseg = jax.vmap(jax.vmap(seg))
+
+    # scan length actually needed this decision: the max valid-action count
+    # over real goal lanes (invalid slots' line_plans are garbage — masked)
+    t_needed = jnp.max(
+        jnp.where(goal_valid_b, goal_actions_b.n_actions, 0)
+    )
+
+    od = goal_actions_b.odoms  # (B, G, A, 3)
+    vl = goal_actions_b.valid  # (B, G, A)
+    bounds = (0,) + splits + (t,)
+    for s0, s1 in zip(bounds[:-1], bounds[1:]):
+        run = lambda c, s0=s0, s1=s1: vseg(
+            c, od[:, :, s0:s1], vl[:, :, s0:s1], tkeys[:, :, s0:s1]
+        )
+        if s0 == 0:
+            carry = run(carry)
+        else:
+            carry = jax.lax.cond(t_needed > s0, run, lambda c: c, carry)
+
+    raw = jax.vmap(
+        lambda c, v, u: jax.vmap(
+            lambda cl: _rollout_finalize(cl, v, u, config)
+        )(c)
+    )(carry, vmap_b, initial_u)  # (B, G)
+    return jnp.where(goal_valid_b, raw, jnp.nan)
 
 
 def normalize_rewards(

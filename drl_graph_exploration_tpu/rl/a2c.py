@@ -33,7 +33,8 @@ from ..env import exploration_env as ee
 from ..env import virtual_map as vm
 from ..env.exploration_env import EnvState
 from . import replay as rp
-from .dqn import _observe_sparse, frontier_slot_mask, reset_where_done, run_macro
+from .dqn import (_observe_sparse, frontier_slot_mask, reset_where_done,
+                  run_macro_batched)
 from .replay import SparseGraph
 
 
@@ -272,9 +273,9 @@ def decision_step_impl(
     acts = jax.vmap(lambda e, f: ee.actions_all_goals(e, f, config))(
         state.envs, frontiers
     )
-    norm_r, _raw, envs = jax.vmap(
-        lambda e, f, a: ee.rewards_all_goals(e, f, a, config)
-    )(state.envs, frontiers, acts)
+    norm_r, _raw, envs = ee.rewards_all_goals_batched(
+        state.envs, frontiers, acts, config
+    )
 
     # act --------------------------------------------------------------------
     fmask = jax.vmap(lambda ks, fs: frontier_slot_mask(ks, fs, n))(
@@ -298,9 +299,7 @@ def decision_step_impl(
     # execute ----------------------------------------------------------------
     chosen = jax.vmap(lambda a, g: jax.tree.map(lambda x: x[g], a))(acts, goal_idx)
 
-    envs = jax.vmap(lambda e, o, v: run_macro(e, o, v, config))(
-        envs, chosen.odoms, chosen.valid
-    )
+    envs = run_macro_batched(envs, chosen.odoms, chosen.valid, config)
     done = jax.vmap(lambda e: ee.is_done(e, config))(envs) | no_frontier
     current_done = done | envs.loop_clo
 

@@ -162,6 +162,39 @@ def run_macro(env: EnvState, odoms, valid, config: ExplorationConfig) -> EnvStat
     return ee.refresh_rasters(env, config)
 
 
+def run_macro_batched(envs: EnvState, odoms, valid, config: ExplorationConfig):
+    """Batch-level :func:`run_macro` with a segmented primitive scan: the
+    chosen macro-actions' padded tail (capacity 34 slots at map 40, typical
+    chosen goal ~6 primitives — data/ab/action_stats.txt) is skipped with
+    one ``lax.cond`` per ``planner.rollout_scan_splits`` boundary on the
+    batch-max action count.  A disabled step is an exact state no-op
+    including the env rng (``simulate`` advances it only ``where
+    in_bounds``), so the skip branch is the identity — bit-identical
+    trajectories (tests/test_reward_split.py)."""
+    t = odoms.shape[-2]
+    splits = tuple(s for s in config.planner.rollout_scan_splits if 0 < s < t)
+    if not splits:
+        return jax.vmap(lambda e, o, v: run_macro(e, o, v, config))(
+            envs, odoms, valid
+        )
+
+    def body(e, inp):
+        od, v = inp
+        return ee.env_step(e, od, config, enabled=v, update_rasters=False), None
+
+    vseg = jax.vmap(lambda e, od, vl: jax.lax.scan(body, e, (od, vl))[0])
+
+    t_needed = jnp.max(jnp.sum(valid, axis=-1))
+    bounds = (0,) + splits + (t,)
+    for s0, s1 in zip(bounds[:-1], bounds[1:]):
+        run = lambda e, s0=s0, s1=s1: vseg(e, odoms[:, s0:s1], valid[:, s0:s1])
+        if s0 == 0:
+            envs = run(envs)
+        else:
+            envs = jax.lax.cond(t_needed > s0, run, lambda e: e, envs)
+    return jax.vmap(lambda e: ee.refresh_rasters(e, config))(envs)
+
+
 def reset_where_done(done, keys, envs, config: ExplorationConfig,
                      k_slots: int = 8):
     """Re-init finished worlds in place (the reference rebuilds the env per
@@ -298,9 +331,9 @@ def decision_step_impl(
     acts = jax.vmap(lambda e, f: ee.actions_all_goals(e, f, config))(
         state.envs, frontiers
     )
-    norm_r, _raw, envs = jax.vmap(
-        lambda e, f, a: ee.rewards_all_goals(e, f, a, config)
-    )(state.envs, frontiers, acts)
+    norm_r, _raw, envs = ee.rewards_all_goals_batched(
+        state.envs, frontiers, acts, config
+    )
 
     # 3. action selection ---------------------------------------------------
     eps = epsilon_at(state.step_t, rl)
@@ -326,9 +359,7 @@ def decision_step_impl(
     # 4. execute the chosen macro-action ------------------------------------
     chosen = jax.vmap(lambda a, g: jax.tree.map(lambda x: x[g], a))(acts, goal_idx)
 
-    envs = jax.vmap(lambda e, o, v: run_macro(e, o, v, config))(
-        envs, chosen.odoms, chosen.valid
-    )
+    envs = run_macro_batched(envs, chosen.odoms, chosen.valid, config)
     done = jax.vmap(lambda e: ee.is_done(e, config))(envs) | no_frontier
     current_done = done | envs.loop_clo
 
