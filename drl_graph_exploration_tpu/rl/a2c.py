@@ -248,6 +248,10 @@ METRIC_KEYS = (
     # A2C had this round's NaN-poisoning bug class, so it gets the same
     # early-warning instrumentation)
     "feat_max", "belief_ok", "reward_ok", "loss_ok", "grad_ok",
+    # episode-shape diagnostics for the b1 late-curve question (ROUND4.md §2):
+    # how often episodes end, at what step, and how often the loop-closure
+    # reward regime fires (exploration_env.py:154-162 nearest-not-best)
+    "loopclo_frac", "ep_len_done",
 )
 
 
@@ -411,11 +415,18 @@ def decision_step_impl(
     )
     buf_idx = jnp.where(full, 0, idx + 1)
 
+    # episode-shape diagnostics, read BEFORE the reset wipes step counters
+    n_done = jnp.sum(done.astype(jnp.float32))
+    ep_len_done = jnp.sum(jnp.where(done, envs.step, 0)) / jnp.maximum(n_done, 1.0)
+    loopclo_frac = jnp.mean(envs.loop_clo.astype(jnp.float32))
+
     # reset finished worlds --------------------------------------------------
     reset_keys = jax.random.split(k_reset, b)
     envs = reset_where_done(done, reset_keys, envs, config, rl.reset_slots)
 
     metrics = {
+        "loopclo_frac": loopclo_frac,
+        "ep_len_done": ep_len_done,
         "reward": jnp.mean(r_t),
         "loss": loss,
         "value": jnp.mean(vals),
