@@ -26,6 +26,11 @@ jax.config.update(
     os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu8"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: one pytest process at a time — two suites (or a suite + an ad-hoc
+# pytest) racing on this cache dir have corrupted entries twice (observed
+# 2026-08-21: SIGABRT in put_executable_and_time during the race, then
+# SIGSEGV in get_executable_and_time reading the torn entry on the next
+# run).  If a run dies inside compilation_cache.py, purge .jax_cache_cpu8.
 # Belief-covariance math is validated at high precision on CPU; the TPU path
 # uses float32 with HIGHEST matmul precision set in library code.
 jax.config.update("jax_default_matmul_precision", "highest")
