@@ -71,6 +71,14 @@ class A2CConfig:
     #: K-slot masked reset (see dqn.reset_where_done): reset at most this
     #: many finished envs per decision, exact full-reset fallback beyond
     reset_slots: int = 8
+    #: Reference-parity probe for the b1 late-curve gap (ROUND4.md §2): the
+    #: reference constructs a FRESH torch Adam at every ``running()`` call
+    #: (``policy.py:306``), and ``train.py:82-84`` re-calls it every
+    #: 1e4-decision subprocess epoch — so its Adam moments AND step-count
+    #: bias-correction warm-restart every 10k decisions.  Ours is one
+    #: continuous Adam.  N > 0 reproduces the reference's restart cadence
+    #: (reset opt state when step_t crosses a multiple of N); 0 = off.
+    adam_restart_every: int = 0
 
 
 class A2CBuffer(NamedTuple):
@@ -373,6 +381,15 @@ def decision_step_impl(
             return (params, opt_state), (loss, grad_ok)
 
         params0 = (actor_params, critic_params)
+        if rl.adam_restart_every:
+            # first update window after each N-decision boundary starts from
+            # fresh Adam moments (see A2CConfig.adam_restart_every)
+            span = rl.nstep * b * rl.world_size
+            fresh = opt.init(params0)
+            do_reset = (state.step_t % rl.adam_restart_every) < span
+            opt_state = jax.tree.map(
+                lambda f, o: jnp.where(do_reset, f, o), fresh, opt_state
+            )
         if rl.per_env_updates:
             # (t, b, ...) -> (b, t, 1, ...): one 40-sample window per env,
             # n_envs sequential updates — the reference's update density

@@ -101,6 +101,12 @@ def main(argv=None) -> None:
                     "into k-step chunks for the backward (same gradient, "
                     "1/(nstep/k) the activation memory — the joint backward "
                     "over nstep*n_envs dense graphs OOMs at n_envs=64)")
+    ap.add_argument("--adam-restart", type=int, default=0,
+                    help="A2C: reset Adam moments every N decisions (the "
+                    "reference's subprocess-epoch firewall re-creates its "
+                    "torch Adam every 1e4 decisions — reference-parity "
+                    "probe for the b1 late-curve gap); 0 = one continuous "
+                    "Adam (default)")
     ap.add_argument("--per-env-updates", action="store_true",
                     help="A2C: when the n-step window completes, run n_envs "
                     "sequential reference-shaped updates (one per env's "
@@ -251,6 +257,7 @@ def main(argv=None) -> None:
             grad_chunk=args.grad_chunk,
             per_env_updates=args.per_env_updates,
             reset_slots=args.reset_slots,
+            adam_restart_every=args.adam_restart,
         )
         if mesh is not None:
             state = dp.init_dp_a2c(key, actor, critic, config, rl, mesh)
