@@ -260,6 +260,10 @@ METRIC_KEYS = (
     # how often episodes end, at what step, and how often the loop-closure
     # reward regime fires (exploration_env.py:154-162 nearest-not-best)
     "loopclo_frac", "ep_len_done",
+    # mean softmax entropy of the sampled action distribution (nats): the
+    # round-5 curve-gap suspect is the entropy trajectory (exploration is
+    # softmax sampling; the reference's entropy loss term is detached/inert)
+    "policy_entropy",
 )
 
 
@@ -301,6 +305,9 @@ def decision_step_impl(
         state.critic_params, obs.features, obs.adjacency, obs.node_valid,
         dropout_key=k_critic,
     )
+    # action-distribution entropy per env (valid frontier slots only; probs
+    # rows sum to 1 there and are exactly 0 off-mask)
+    ent = -jnp.sum(jnp.where(probs > 0, probs * jnp.log(probs + 1e-35), 0.0), axis=-1)
     # categorical sample over nodes (off-mask probs are exactly 0)
     logits = jnp.log(probs + 1e-35)
     action_node = jax.random.categorical(k_choice, logits, axis=-1).astype(jnp.int32)
@@ -442,6 +449,7 @@ def decision_step_impl(
     envs = reset_where_done(done, reset_keys, envs, config, rl.reset_slots)
 
     metrics = {
+        "policy_entropy": jnp.mean(ent),
         "loopclo_frac": loopclo_frac,
         "ep_len_done": ep_len_done,
         "reward": jnp.mean(r_t),
