@@ -7,6 +7,8 @@ happens lazily at first device use.
 """
 import os
 
+import pytest
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -32,3 +34,21 @@ except AttributeError:  # older jax without the flag: set no cache dir
 # Belief-covariance math is validated at high precision on CPU; the TPU path
 # uses float32 with HIGHEST matmul precision set in library code.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Cap in-process compiled-executable accumulation.
+
+    Every jitted program holds several JIT code mappings; a full suite run
+    grows the process toward vm.max_map_count (~500 maps/test observed
+    2026-08-21) and dies with a deterministic SIGSEGV inside
+    backend_compile_and_load once the limit is hit (~test #130 on a
+    65530-map host).  Dropping compiled executables between modules keeps
+    the count bounded; cross-module jit reuse is rare, so the recompile
+    cost is small.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
