@@ -79,6 +79,14 @@ class A2CConfig:
     #: continuous Adam.  N > 0 reproduces the reference's restart cadence
     #: (reset opt state when step_t crosses a multiple of N); 0 = off.
     adam_restart_every: int = 0
+    #: Diagnostic (NOT reference semantics): let the entropy term's gradient
+    #: flow.  The reference computes its entropy loss from DETACHED
+    #: probabilities (policy.py:468-472 .detach()), so its ent_coef is inert
+    #: — exploration decays as the softmax sharpens.  Session-3's entropy
+    #: lane shows our b1 runs collapsing 0.40 -> 0.09 nats exactly over the
+    #: late-curve gap window (ROUND4.md §2); True turns the written-but-inert
+    #: entropy bonus into a real regulariser to test that mechanism.
+    entropy_grad: bool = False
 
 
 class A2CBuffer(NamedTuple):
@@ -188,7 +196,7 @@ def a2c_losses(
 
     value_loss = jnp.sum(w * (values - returns.reshape(-1)) ** 2) / denom
 
-    p_det = jax.lax.stop_gradient(probs)
+    p_det = probs if rl.entropy_grad else jax.lax.stop_gradient(probs)
     entropy = (
         -jnp.sum(jnp.where(mask, p_det * jnp.log(p_det), 0.0) * w[:, None]) / denom
     )

@@ -107,6 +107,10 @@ def main(argv=None) -> None:
                     "torch Adam every 1e4 decisions — reference-parity "
                     "probe for the b1 late-curve gap); 0 = one continuous "
                     "Adam (default)")
+    ap.add_argument("--entropy-grad", action="store_true",
+                    help="A2C diagnostic: let the entropy bonus's gradient "
+                    "flow (the reference detaches it — policy.py:468-472 — "
+                    "so its ent_coef is inert; see A2CConfig.entropy_grad)")
     ap.add_argument("--per-env-updates", action="store_true",
                     help="A2C: when the n-step window completes, run n_envs "
                     "sequential reference-shaped updates (one per env's "
@@ -258,6 +262,7 @@ def main(argv=None) -> None:
             per_env_updates=args.per_env_updates,
             reset_slots=args.reset_slots,
             adam_restart_every=args.adam_restart,
+            entropy_grad=args.entropy_grad,
         )
         if mesh is not None:
             state = dp.init_dp_a2c(key, actor, critic, config, rl, mesh)
