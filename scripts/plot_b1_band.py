@@ -21,6 +21,9 @@ CURVES = [
      "seed 10 + adam-restart 10k", "#1baf7a"),
     ("data/ckpt/a2c_b1_adamrestart_s11/temp_reward.csv",
      "seed 11 + adam-restart 10k", "#63cba4"),
+    ("data/ckpt/a2c_b1_entropy_s12/temp_reward.csv", "seed 12", "#c5d6ea"),
+    ("data/ckpt/a2c_b1_entgrad_s13/temp_reward.csv",
+     "seed 13 + entropy-grad", "#eda100"),
 ]
 REF = ("data/ref_curves/A2C_GCN_avg_reward.csv", "reference A2C_GCN", "#eb6834")
 
