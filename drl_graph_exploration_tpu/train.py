@@ -107,6 +107,10 @@ def main(argv=None) -> None:
                     "torch Adam every 1e4 decisions — reference-parity "
                     "probe for the b1 late-curve gap); 0 = one continuous "
                     "Adam (default)")
+    ap.add_argument("--ent-coef", type=float, default=0.01,
+                    help="A2C entropy coefficient (reference 0.01, "
+                    "policy.py:286 — inert there because detached; only "
+                    "meaningful with --entropy-grad)")
     ap.add_argument("--entropy-grad", action="store_true",
                     help="A2C diagnostic: let the entropy bonus's gradient "
                     "flow (the reference detaches it — policy.py:468-472 — "
@@ -263,6 +267,7 @@ def main(argv=None) -> None:
             reset_slots=args.reset_slots,
             adam_restart_every=args.adam_restart,
             entropy_grad=args.entropy_grad,
+            ent_coef=args.ent_coef,
         )
         if mesh is not None:
             state = dp.init_dp_a2c(key, actor, critic, config, rl, mesh)
